@@ -1,0 +1,252 @@
+"""All-vs-all protein homology search -> ortholog clusters.
+
+TPU-native re-design of the reference's stage-1 homology pipeline
+(BlatRunner.java:276-527 all-vs-all blat with top-1 hit per query per
+target genome; PhyloPipeline.java:316-431 thresholds hitsPerQuery=1,
+evalue 0.1, minIdentity 10, minScore 15; :911-987 bidirectional filter;
+:882-909 MCL at inflation 1.5):
+
+1. hashed k-mer profiles for every protein (host),
+2. cosine candidate generation per (query, target genome) via one big
+   MXU matmul (ops/kmer_filter.py),
+3. exact affine Smith-Waterman on surviving candidates, batched and
+   length-bucketed (ops/smith_waterman.py),
+4. top-1 hit per (query, genome) + blat-style thresholds,
+5. bidirectional filter, then Markov clustering (ops/mcl.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from pepr_tpu.data.blosum62 import bit_score_to_evalue, raw_to_bit_score
+from pepr_tpu.io.fasta import SequenceSet
+from pepr_tpu.ops.kmer_filter import candidate_pairs, kmer_profiles
+from pepr_tpu.ops.mcl import mcl_cluster
+from pepr_tpu.ops.smith_waterman import kernel_matrix, sw_align_batch
+
+
+@dataclass
+class ProteinUniverse:
+    """Flat index over all proteins of all genomes."""
+    genomes: list[SequenceSet]
+    seqs: list[np.ndarray]
+    ids: list[str]
+    genome_of: np.ndarray  # (N,) int32
+    offsets: np.ndarray  # (G+1,)
+    lengths: np.ndarray  # (N,)
+
+    @classmethod
+    def build(cls, genomes: list[SequenceSet]) -> "ProteinUniverse":
+        seqs: list[np.ndarray] = []
+        ids: list[str] = []
+        genome_of: list[int] = []
+        offsets = [0]
+        for g, ss in enumerate(genomes):
+            seqs.extend(ss.seqs)
+            ids.extend(ss.ids)
+            genome_of.extend([g] * len(ss))
+            offsets.append(len(seqs))
+        return cls(genomes, seqs, ids,
+                   np.array(genome_of, dtype=np.int32),
+                   np.array(offsets, dtype=np.int64),
+                   np.array([len(s) for s in seqs], dtype=np.int32))
+
+    @property
+    def n(self) -> int:
+        return len(self.seqs)
+
+    def genome_residues(self) -> np.ndarray:
+        return np.array([sum(len(s) for s in g.seqs) for g in self.genomes],
+                        dtype=np.int64)
+
+
+@dataclass
+class HitTable:
+    """Directed best hits: query protein -> best match per target genome."""
+    query: np.ndarray  # (M,) int64 global protein index
+    target: np.ndarray  # (M,)
+    raw: np.ndarray  # (M,) float32 raw SW score
+    bits: np.ndarray  # (M,) float64 bit score
+    evalue: np.ndarray  # (M,)
+    identity: np.ndarray  # (M,) percent
+    length: np.ndarray  # (M,) aligned columns
+
+
+def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
+                 pairs_t: np.ndarray, batch_size: int = 1024,
+                 length_multiple: int = 128,
+                 max_len: int = 4096) -> dict[str, np.ndarray]:
+    """Run SW on an arbitrary pair list, bucketing by padded lengths so
+    device shapes stay few and compiles are cached."""
+    sub = jnp.asarray(kernel_matrix())
+    n_pairs = len(pairs_q)
+    out = {k: np.zeros(n_pairs, dtype=np.float32)
+           for k in ("score", "matches", "length")}
+
+    def padded_len(x: int) -> int:
+        x = min(int(x), max_len)
+        return int(np.ceil(max(x, 1) / length_multiple) * length_multiple)
+
+    lq = np.array([padded_len(universe.lengths[q]) for q in pairs_q])
+    lt = np.array([padded_len(universe.lengths[t]) for t in pairs_t])
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(n_pairs):
+        buckets.setdefault((int(lq[i]), int(lt[i])), []).append(i)
+
+    for (blq, blt), idxs in sorted(buckets.items()):
+        for s0 in range(0, len(idxs), batch_size):
+            chunk = idxs[s0:s0 + batch_size]
+            B = len(chunk)
+            qb = np.full((B, blq), 24, dtype=np.int8)
+            tb = np.full((B, blt), 24, dtype=np.int8)
+            for bi, pi in enumerate(chunk):
+                qs = universe.seqs[pairs_q[pi]][:blq]
+                ts = universe.seqs[pairs_t[pi]][:blt]
+                qb[bi, :len(qs)] = qs
+                tb[bi, :len(ts)] = ts
+            res = sw_align_batch(jnp.asarray(qb), jnp.asarray(tb), sub)
+            for k in out:
+                out[k][chunk] = np.asarray(res[k])
+    return out
+
+
+def search_all_vs_all(genomes: list[SequenceSet], *,
+                      hits_per_query: int = 1,
+                      evalue_cutoff: float = 0.1,
+                      min_identity: float = 10.0,
+                      min_score: float = 15.0,
+                      candidates_per_genome: int = 3,
+                      profile_dim: int = 1024,
+                      batch_size: int = 1024) -> tuple[ProteinUniverse, HitTable]:
+    """Find, for every protein, its best hit in every genome (including
+    its own), with blat-equivalent thresholds."""
+    universe = ProteinUniverse.build(genomes)
+    profiles = kmer_profiles(universe.seqs, dim=profile_dim)
+    cand_idx, _ = candidate_pairs(profiles, profiles, universe.offsets,
+                                  top_per_genome=candidates_per_genome)
+    # flatten candidate list
+    nq, G, C = cand_idx.shape
+    qs, ts = [], []
+    for q in range(nq):
+        for g in range(G):
+            for c in range(C):
+                t = cand_idx[q, g, c]
+                if t >= 0:
+                    qs.append(q)
+                    ts.append(t)
+    pairs_q = np.array(qs, dtype=np.int64)
+    pairs_t = np.array(ts, dtype=np.int64)
+    res = _bucketed_sw(universe, pairs_q, pairs_t, batch_size=batch_size)
+
+    # top-1 (or top-k) per (query, target genome) by raw score
+    raw = res["score"]
+    order = np.lexsort((-raw, universe.genome_of[pairs_t], pairs_q))
+    genome_res = universe.genome_residues()
+    keep: list[int] = []
+    last_key = None
+    rank = 0
+    for oi in order:
+        key = (int(pairs_q[oi]), int(universe.genome_of[pairs_t[oi]]))
+        if key != last_key:
+            last_key = key
+            rank = 0
+        if rank < hits_per_query:
+            keep.append(oi)
+            rank += 1
+    keep = np.array(keep, dtype=np.int64)
+
+    kq, kt = pairs_q[keep], pairs_t[keep]
+    kraw = raw[keep]
+    kmatch = res["matches"][keep]
+    klen = np.maximum(res["length"][keep], 1)
+    bits = raw_to_bit_score(kraw)
+    ev = bit_score_to_evalue(bits, universe.lengths[kq],
+                             genome_res[universe.genome_of[kt]])
+    ident = 100.0 * kmatch / klen
+    # blat-style minScore: matches minus mismatches (gap-free approx)
+    blat_score = kmatch - (klen - kmatch)
+    ok = (ev <= evalue_cutoff) & (ident >= min_identity) & \
+        (blat_score >= min_score) & (kraw > 0)
+    return universe, HitTable(kq[ok], kt[ok], kraw[ok], bits[ok], ev[ok],
+                              ident[ok], klen[ok])
+
+
+def bidirectional_edges(hits: HitTable) -> tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """Keep only pairs hit in both directions; returns undirected edges
+    (i, j, weight=max bit score of the two directions).  Self hits can
+    never be bidirectional (PhyloPipeline.filterForBidirectional:
+    the unordered pair must be seen twice)."""
+    seen: dict[tuple[int, int], float] = {}
+    out_i, out_j, out_w = [], [], []
+    for q, t, b in zip(hits.query, hits.target, hits.bits):
+        key = (int(min(q, t)), int(max(q, t)))
+        if key in seen:
+            out_i.append(key[0])
+            out_j.append(key[1])
+            out_w.append(max(seen.pop(key), float(b)))
+        else:
+            seen[key] = float(b)
+    return (np.array(out_i, dtype=np.int64), np.array(out_j, dtype=np.int64),
+            np.array(out_w, dtype=np.float64))
+
+
+def all_edges(hits: HitTable) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Non-bidirectional variant (filterHitPairFile): every directed hit
+    becomes an edge; duplicates collapse to max; self loops dropped."""
+    seen: dict[tuple[int, int], float] = {}
+    for q, t, b in zip(hits.query, hits.target, hits.bits):
+        if q == t:
+            continue
+        key = (int(min(q, t)), int(max(q, t)))
+        seen[key] = max(seen.get(key, 0.0), float(b))
+    if not seen:
+        return (np.zeros(0, np.int64),) * 2 + (np.zeros(0),)
+    ij = np.array(list(seen.keys()), dtype=np.int64)
+    w = np.array(list(seen.values()))
+    return ij[:, 0], ij[:, 1], w
+
+
+def cluster_homolog_groups(universe: ProteinUniverse, hits: HitTable, *,
+                           bidirectional: bool = True,
+                           inflation: float = 1.5,
+                           min_size: int = 2) -> list[list[int]]:
+    """MCL over the hit graph -> homolog groups (protein index lists),
+    largest first (the reference extracts sets in mcl output order,
+    which is size-sorted)."""
+    if bidirectional:
+        ei, ej, w = bidirectional_edges(hits)
+    else:
+        ei, ej, w = all_edges(hits)
+    clusters = mcl_cluster(universe.n, ei, ej, w, inflation=inflation)
+    clusters = [c for c in clusters if len(c) >= min_size]
+    clusters.sort(key=len, reverse=True)
+    return clusters
+
+
+def groups_to_sequence_sets(universe: ProteinUniverse,
+                            clusters: list[list[int]],
+                            prefix: str = "set") -> list[SequenceSet]:
+    """Materialize homolog groups as SequenceSets (the role of
+    SequenceSetExtractor.java:141-198), keeping full titles so taxon
+    extraction keeps working downstream."""
+    out = []
+    # map global index -> (genome, local)
+    local = np.zeros(universe.n, dtype=np.int64)
+    for g in range(len(universe.genomes)):
+        a, b = universe.offsets[g], universe.offsets[g + 1]
+        local[a:b] = np.arange(b - a)
+    for ci, cluster in enumerate(clusters):
+        titles = []
+        seqs = []
+        for idx in cluster:
+            g = int(universe.genome_of[idx])
+            li = int(local[idx])
+            titles.append(universe.genomes[g].titles[li])
+            seqs.append(universe.genomes[g].seqs[li])
+        out.append(SequenceSet(f"{prefix}_{ci}", titles, seqs))
+    return out
