@@ -1,0 +1,215 @@
+"""Progressive multiple sequence alignment (muscle replacement).
+
+Reference behavior replaced: MultipleSequenceAligner.java:90-141 (muscle
+`-fasta -stable -quiet` per homolog group).  TPU-first design: UPGMA
+guide tree over hashed k-mer cosine distances, then postorder
+profile-profile merges through the batched affine-NW wavefront kernel
+(ops/profile_align.py).  `align_families` schedules merges across many
+gene families in level-synchronous waves so the device always sees full
+batches of same-bucket DP problems.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from pepr_tpu.alphabet import GAP, N_AA
+from pepr_tpu.io.fasta import SequenceSet
+from pepr_tpu.ops.kmer_filter import kmer_profiles
+from pepr_tpu.ops.profile_align import nw_profile_batch, traceback
+
+
+def upgma(dist: np.ndarray) -> list[tuple[int, int]]:
+    """UPGMA merge order on a condensed distance matrix.  Returns merge
+    pairs referring to cluster ids (leaves 0..n-1, new clusters n+k)."""
+    n = dist.shape[0]
+    d = dist.astype(np.float64).copy()
+    np.fill_diagonal(d, np.inf)
+    active = {i: (i, 1) for i in range(n)}  # row -> (cluster id, size)
+    merges: list[tuple[int, int]] = []
+    next_id = n
+    rows = list(range(n))
+    while len(rows) > 1:
+        sub = d[np.ix_(rows, rows)]
+        k = np.unravel_index(np.argmin(sub), sub.shape)
+        ri, rj = rows[k[0]], rows[k[1]]
+        ci, si = active[ri]
+        cj, sj = active[rj]
+        merges.append((ci, cj))
+        # merged distances (average linkage)
+        for r in rows:
+            if r in (ri, rj):
+                continue
+            d[ri, r] = d[r, ri] = (si * d[ri, r] + sj * d[rj, r]) / (si + sj)
+        active[ri] = (next_id, si + sj)
+        next_id += 1
+        rows.remove(rj)
+    return merges
+
+
+@dataclass
+class _Cluster:
+    rows: list[int]  # original sequence indices
+    mat: np.ndarray  # (n_rows, L) int8 aligned codes
+
+
+def _profile(mat: np.ndarray) -> np.ndarray:
+    """(L, 20) frequency profile; gaps contribute zero mass (columns are
+    normalized by total rows so gappy columns score low)."""
+    n, L = mat.shape
+    prof = np.zeros((L, N_AA), dtype=np.float32)
+    for a in range(N_AA):
+        prof[:, a] = (mat == a).sum(axis=0)
+    prof /= max(n, 1)
+    return prof
+
+
+def _merge(a: _Cluster, b: _Cluster, moves: list[tuple[int, int]]) -> _Cluster:
+    La, Lb = a.mat.shape[1], b.mat.shape[1]
+    cols = len(moves)
+    out = np.full((len(a.rows) + len(b.rows), cols), GAP, dtype=np.int8)
+    ia = ib = 0
+    na = len(a.rows)
+    for c, (di, dj) in enumerate(moves):
+        if di:
+            out[:na, c] = a.mat[:, ia]
+            ia += 1
+        if dj:
+            out[na:, c] = b.mat[:, ib]
+            ib += 1
+    assert ia == La and ib == Lb, (ia, La, ib, Lb)
+    return _Cluster(a.rows + b.rows, out)
+
+
+def _pad_profiles(profs: list[np.ndarray], multiple: int = 64):
+    lens = np.array([p.shape[0] for p in profs], dtype=np.int32)
+    L = int(np.ceil(max(int(lens.max()), 1) / multiple) * multiple)
+    out = np.zeros((len(profs), L, N_AA), dtype=np.float32)
+    for i, p in enumerate(profs):
+        out[i, : p.shape[0]] = p
+    return out, lens
+
+
+def align_families(families: list[list[np.ndarray]], *,
+                   gap_open: float = 11.0, gap_extend: float = 1.0,
+                   batch_size: int = 256,
+                   length_multiple: int = 64) -> list[np.ndarray]:
+    """Align many families; returns (n_i, L_i) int8 matrices.
+
+    Merges across families are executed in waves: every family exposes
+    its next ready merge, all ready merges are bucketed by padded
+    profile lengths and run as batched device calls.
+    """
+    # per-family state: clusters + pending merge schedule
+    states: list[dict] = []
+    for seqs in families:
+        n = len(seqs)
+        clusters = {i: _Cluster([i], np.asarray(seqs[i],
+                                                dtype=np.int8)[None, :])
+                    for i in range(n)}
+        if n == 1:
+            states.append({"clusters": clusters, "merges": [], "next": 0})
+            continue
+        profs = kmer_profiles(seqs, dim=256)
+        sims = np.clip(profs @ profs.T, 0.0, 1.0)
+        dist = 1.0 - sims
+        merges = upgma(dist)
+        states.append({"clusters": clusters, "merges": merges, "next": 0})
+
+    while True:
+        # gather ready merges: (family, merge index)
+        ready = []
+        for fi, st in enumerate(states):
+            k = st["next"]
+            if k < len(st["merges"]):
+                ci, cj = st["merges"][k]
+                if ci in st["clusters"] and cj in st["clusters"]:
+                    ready.append(fi)
+        if not ready:
+            break
+        # build profile pairs
+        jobs = []
+        for fi in ready:
+            st = states[fi]
+            ci, cj = st["merges"][st["next"]]
+            a, b = st["clusters"][ci], st["clusters"][cj]
+            jobs.append((fi, ci, cj, a, b))
+        profs1 = [_profile(j[3].mat) for j in jobs]
+        profs2 = [_profile(j[4].mat) for j in jobs]
+        # bucket by padded length pair
+        def pl(p):
+            return int(np.ceil(max(p.shape[0], 1) / length_multiple)
+                       * length_multiple)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for k, (pa, pb) in enumerate(zip(profs1, profs2)):
+            buckets.setdefault((pl(pa), pl(pb)), []).append(k)
+        for (L1, L2), idxs in sorted(buckets.items()):
+            for s0 in range(0, len(idxs), batch_size):
+                chunk = idxs[s0:s0 + batch_size]
+                p1, l1 = _pad_profiles([profs1[k] for k in chunk],
+                                       length_multiple)
+                p2, l2 = _pad_profiles([profs2[k] for k in chunk],
+                                       length_multiple)
+                p1 = _fit(p1, L1)
+                p2 = _fit(p2, L2)
+                score, ptrs = nw_profile_batch(
+                    jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(l1),
+                    jnp.asarray(l2), gap_open=gap_open,
+                    gap_extend=gap_extend)
+                ptrs = np.asarray(ptrs)
+                for bi, k in enumerate(chunk):
+                    fi, ci, cj, a, b = jobs[k]
+                    moves = traceback(ptrs[bi], int(l1[bi]), int(l2[bi]))
+                    st = states[fi]
+                    merged = _merge(a, b, moves)
+                    del st["clusters"][ci], st["clusters"][cj]
+                    new_id = len(families[fi]) + st["next"]
+                    st["clusters"][new_id] = merged
+                    st["next"] += 1
+
+    out: list[np.ndarray] = []
+    for fi, st in enumerate(states):
+        (final,) = st["clusters"].values()
+        # restore original row order ("-stable" muscle flag semantics:
+        # output order == input order)
+        order = np.argsort(final.rows)
+        out.append(final.mat[order])
+    return out
+
+
+def _fit(arr: np.ndarray, L: int) -> np.ndarray:
+    if arr.shape[1] == L:
+        return arr
+    out = np.zeros((arr.shape[0], L, arr.shape[2]), arr.dtype)
+    out[:, : arr.shape[1]] = arr[:, :L] if arr.shape[1] > L else arr
+    return out
+
+
+def align_family(seqs: list[np.ndarray], **kw) -> np.ndarray:
+    return align_families([seqs], **kw)[0]
+
+
+def align_sequence_sets(sets: list[SequenceSet], **kw) -> list["Alignment"]:
+    mats = align_families([s.seqs for s in sets], **kw)
+    return [Alignment(s.name, list(s.taxa), m, titles=list(s.titles))
+            for s, m in zip(sets, mats)]
+
+
+@dataclass
+class Alignment:
+    """An MSA with taxon names per row (SequenceAlignment.java role)."""
+    name: str
+    taxa: list[str]
+    mat: np.ndarray  # (n, L) int8 with GAP
+    titles: list[str] | None = None
+
+    @property
+    def n_seqs(self) -> int:
+        return self.mat.shape[0]
+
+    @property
+    def length(self) -> int:
+        return self.mat.shape[1]
