@@ -1,0 +1,257 @@
+"""Felsenstein pruning log-likelihood under WAG+Gamma on TPU.
+
+The ML engine replacing the reference's native tree builders
+(raxmlHPC `-f d/-f e/-f g` with PROTGAMMAWAG, RAxMLRunner.java:79-280;
+FastTree_WAG `-gamma`, FastTreeRunner.java:67-86).
+
+TPU-first design:
+- per-edge transition matrices P(t) = U exp(L r_c t) U^-1 from the
+  precomputed WAG eigensystem (batched 20x20 einsums),
+- a `lax.scan` over postorder internal nodes; each step transforms the
+  child partials with (sites, 20) @ (20, 20) matmuls — MXU work that
+  scales with alignment length — and rescales per site, accumulating
+  log-scale factors,
+- sites are independent: the public entry chunks/shards the site axis,
+  and per-site weights make bootstrap/jackknife replicates pure
+  reweightings of the same computation,
+- everything is differentiable in the branch lengths, so branch
+  optimization is jax.grad + optax instead of RAxML's Brent loops.
+
+Node convention: ids 0..n_leaves-1 are leaves (alignment row order);
+internal nodes follow in postorder (children always have smaller
+processing position); the last internal node is the root (up to 3
+children to represent unrooted trees).  `children[i, :3]` holds child
+node ids, -1 padding.  `blen[v]` is the edge above node v (root entry
+ignored).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pepr_tpu.alphabet import N_AA
+from pepr_tpu.data.wag import WAG_FREQS, wag_eigensystem
+from pepr_tpu.ops.gamma import discrete_gamma_rates
+from pepr_tpu.tree.basic import Tree
+
+
+@dataclass(frozen=True)
+class WagModel:
+    eig: np.ndarray  # (20,)
+    u: np.ndarray  # (20, 20)
+    u_inv: np.ndarray  # (20, 20)
+    pi: np.ndarray  # (20,)
+    rates: np.ndarray  # (C,)
+
+    @classmethod
+    def create(cls, alpha: float = 1.0, n_cats: int = 4) -> "WagModel":
+        eig, u, u_inv = wag_eigensystem()
+        return cls(eig.astype(np.float32), u.astype(np.float32),
+                   u_inv.astype(np.float32), WAG_FREQS.astype(np.float32),
+                   discrete_gamma_rates(alpha, n_cats).astype(np.float32))
+
+
+def tips_to_partials(codes: jax.Array) -> jax.Array:
+    """(n_leaves, L) int8 -> (n_leaves, L, 20) tip partials; ambiguity
+    codes (B/Z/X/GAP/PAD >= 20) become all-ones."""
+    onehot = jax.nn.one_hot(codes, N_AA, dtype=jnp.float32)
+    ambiguous = (codes >= N_AA)[..., None]
+    return jnp.where(ambiguous, 1.0, onehot)
+
+
+def transition_matrices(model: WagModel, blen: jax.Array) -> jax.Array:
+    """(C, n_nodes, 20, 20) P(r_c * t_v), rows=parent state."""
+    eig = jnp.asarray(model.eig)
+    u = jnp.asarray(model.u)
+    ui = jnp.asarray(model.u_inv)
+    rates = jnp.asarray(model.rates)
+    t = jnp.maximum(blen, 1e-9)
+    ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
+                 * t[None, :, None])  # (C, V, 20)
+    return jnp.einsum("ab,cvb,bd->cvad", u, ex, ui)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def loglik_sites(codes: jax.Array, children: jax.Array, blen: jax.Array,
+                 eig: jax.Array, u: jax.Array, u_inv: jax.Array,
+                 pi: jax.Array, rates: jax.Array) -> jax.Array:
+    """Per-site log-likelihood, (L,).
+
+    codes: (n_leaves, L) int8; children: (n_int, 3) int32;
+    blen: (n_nodes,) f32.
+    """
+    n_leaves, L = codes.shape
+    n_int = children.shape[0]
+    n_nodes = n_leaves + n_int
+    C = rates.shape[0]
+
+    tips = tips_to_partials(codes)  # (n_leaves, L, 20)
+    t = jnp.maximum(blen, 1e-9)
+    ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
+                 * t[None, :, None])
+    pmats = jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv)  # (C,V,20,20)
+
+    # buffer of partials for every node and category
+    buf = jnp.zeros((n_nodes, C, L, N_AA), jnp.float32)
+    buf = buf.at[:n_leaves].set(
+        jnp.broadcast_to(tips[:, None], (n_leaves, C, L, N_AA)))
+
+    def step(carry, i):
+        buf, logscale = carry
+        kids = children[i]  # (3,)
+        node = n_leaves + i
+
+        def child_term(k):
+            cid = kids[k]
+            part = buf[jnp.maximum(cid, 0)]  # (C, L, 20)
+            p = pmats[:, jnp.maximum(cid, 0)]  # (C, 20, 20)
+            term = jnp.einsum("cab,clb->cla", p, part)
+            return jnp.where(cid >= 0, term, 1.0)
+
+        prod = child_term(0) * child_term(1) * child_term(2)
+        m = jnp.maximum(jnp.max(prod, axis=-1), 1e-30)  # (C, L)
+        prod = prod / m[..., None]
+        logscale = logscale + jnp.log(m)
+        buf = buf.at[node].set(prod)
+        return (buf, logscale), None
+
+    logscale0 = jnp.zeros((C, L), jnp.float32)
+    (buf, logscale), _ = jax.lax.scan(step, (buf, logscale0),
+                                      jnp.arange(n_int))
+    root = buf[n_nodes - 1]  # (C, L, 20)
+    site_cat = jnp.log(jnp.maximum(
+        jnp.einsum("a,cla->cl", pi, root), 1e-30)) + logscale  # (C, L)
+    # equal category weights
+    return jax.scipy.special.logsumexp(site_cat, axis=0) - jnp.log(C * 1.0)
+
+
+def loglik(codes, children, blen, model: WagModel,
+           site_weights=None, chunk: int = 8192) -> jax.Array:
+    """Total (weighted) log-likelihood, chunking the site axis to bound
+    the partials buffer."""
+    L = codes.shape[1]
+    eig, u, ui = (jnp.asarray(model.eig), jnp.asarray(model.u),
+                  jnp.asarray(model.u_inv))
+    pi, rates = jnp.asarray(model.pi), jnp.asarray(model.rates)
+    total = jnp.float32(0.0)
+    for s0 in range(0, L, chunk):
+        s1 = min(s0 + chunk, L)
+        ll = loglik_sites(codes[:, s0:s1], children, blen, eig, u, ui, pi,
+                          rates)
+        if site_weights is not None:
+            ll = ll * site_weights[s0:s1]
+        total = total + ll.sum()
+    return total
+
+
+# -- Tree <-> kernel array conversion -------------------------------------
+
+@dataclass
+class TreeArrays:
+    children: np.ndarray  # (n_int, 3) int32
+    blen: np.ndarray  # (n_nodes,) float32
+    node_of_tree_node: np.ndarray  # kernel id per Tree node index
+    taxa: list[str]  # leaf order = alignment row order
+
+    @property
+    def n_leaves(self) -> int:
+        return len(self.taxa)
+
+
+def tree_to_arrays(tree: Tree, taxa: list[str],
+                   default_blen: float = 0.1) -> TreeArrays:
+    """Convert a Tree (binary or root-trifurcating) to kernel arrays.
+    `taxa` fixes the leaf-id order (alignment rows)."""
+    t_index = {t: i for i, t in enumerate(taxa)}
+    n_leaves = len(taxa)
+    post = [int(x) for x in tree.postorder()]
+    internals = [n for n in post if not tree.is_leaf(n)]
+    kid_counts = [len(tree.children[n]) for n in internals]
+    if max(kid_counts) > 3:
+        raise ValueError("kernel supports <= 3 children per node")
+    n_int = len(internals)
+    kernel_id = np.full(tree.n_nodes, -1, dtype=np.int32)
+    for n in post:
+        if tree.is_leaf(n):
+            label = tree.labels[n]
+            if label not in t_index:
+                raise KeyError(f"leaf {label!r} not in taxa")
+            kernel_id[n] = t_index[label]
+    for k, n in enumerate(internals):
+        kernel_id[n] = n_leaves + k
+    children = np.full((n_int, 3), -1, dtype=np.int32)
+    for k, n in enumerate(internals):
+        for c, kid in enumerate(tree.children[n]):
+            children[k, c] = kernel_id[kid]
+    blen = np.full(n_leaves + n_int, default_blen, dtype=np.float32)
+    for n in post:
+        b = tree.blen[n]
+        if np.isfinite(b) and b >= 0:
+            blen[kernel_id[n]] = max(float(b), 1e-8)
+    return TreeArrays(children, blen, kernel_id, list(taxa))
+
+
+def arrays_to_tree(arr: TreeArrays, supports: np.ndarray | None = None) -> Tree:
+    """Kernel arrays -> Tree (for Newick output)."""
+    import math
+    n_leaves = arr.n_leaves
+    n_int = arr.children.shape[0]
+    n_nodes = n_leaves + n_int
+    parent = np.full(n_nodes, -1, dtype=np.int32)
+    for k in range(n_int):
+        for c in arr.children[k]:
+            if c >= 0:
+                parent[c] = n_leaves + k
+    labels: list = [arr.taxa[i] for i in range(n_leaves)] + [None] * n_int
+    blen = np.array([float(b) for b in arr.blen])
+    blen_out = np.where(parent >= 0, blen, math.nan)
+    sup = np.full(n_nodes, math.nan)
+    if supports is not None:
+        sup[n_leaves:] = supports
+    return Tree(parent, labels, blen_out, sup)
+
+
+# -- numpy oracle ----------------------------------------------------------
+
+def loglik_numpy_eig(codes: np.ndarray, children: np.ndarray,
+                     blen: np.ndarray, model: WagModel,
+                     site_weights=None) -> float:
+    n_leaves, L = codes.shape
+    n_int = children.shape[0]
+    C = len(model.rates)
+    eig = model.eig.astype(np.float64)
+    u = model.u.astype(np.float64)
+    ui = model.u_inv.astype(np.float64)
+    pi = model.pi.astype(np.float64)
+    total_site = np.zeros((C, L))
+    for c, r in enumerate(model.rates):
+        partials = np.zeros((n_leaves + n_int, L, 20))
+        for leaf in range(n_leaves):
+            for s in range(L):
+                code = codes[leaf, s]
+                if code < 20:
+                    partials[leaf, s, code] = 1.0
+                else:
+                    partials[leaf, s, :] = 1.0
+        for i in range(n_int):
+            node = n_leaves + i
+            prod = np.ones((L, 20))
+            for cid in children[i]:
+                if cid < 0:
+                    continue
+                t = max(float(blen[cid]), 1e-9)
+                p = u @ np.diag(np.exp(eig * float(r) * t)) @ ui
+                prod = prod * (partials[cid] @ p.T)
+            partials[node] = prod
+        total_site[c] = np.log(
+            np.maximum(partials[n_leaves + n_int - 1] @ pi, 1e-300))
+    m = total_site.max(axis=0)
+    site_ll = m + np.log(np.mean(np.exp(total_site - m), axis=0))
+    if site_weights is not None:
+        site_ll = site_ll * site_weights
+    return float(site_ll.sum())
