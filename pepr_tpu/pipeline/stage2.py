@@ -1,0 +1,136 @@
+"""Stage 2: homolog groups -> alignments -> concatenation -> trees.
+
+The orchestration replacing PhylogenomicPipeline2
+(PhylogenomicPipeline2.java:102-427): filter sets by taxa counts,
+align (batched progressive MSA), trim (Gblocks semantics), concatenate
+over the taxon union, build the full tree (default ML) and gene-wise
+jackknife support trees, decorate supports.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pepr_tpu.io.fasta import SequenceSet
+from pepr_tpu.models.concat import ConcatenatedAlignment, concatenate
+from pepr_tpu.models.msa import Alignment, align_sequence_sets
+from pepr_tpu.models.support import decorated_tree, support_trees
+from pepr_tpu.models.treebuild import ml_tree, nj_tree
+from pepr_tpu.ops.likelihood import WagModel
+from pepr_tpu.ops.trim import gblocks_mask
+from pepr_tpu.tree import to_newick
+from pepr_tpu.tree.basic import Tree
+
+
+@dataclass
+class Stage2Config:
+    min_taxa: int = 4
+    max_taxa: int = 10 ** 9
+    target_sets: int | None = None  # cap on gene families (largest kept)
+    representative_only: bool = False  # one member per taxon per set
+    trim: bool = True
+    full_tree_method: str = "ml"  # ml | fast_ml | nj
+    support_method: str = "fast_ml"  # FastTree-equivalent
+    support_reps: int = 100
+    jackknife_fraction: float = 0.5
+    gamma_alpha: float = 1.0
+    nni_rounds: int = 8
+    bl_steps: int = 200
+    seed: int = 12345
+
+
+@dataclass
+class Stage2Result:
+    tree: Tree  # support-decorated full tree
+    full_tree: Tree
+    support_trees: list[Tree]
+    concat: ConcatenatedAlignment
+    alignments: list[Alignment]
+    log_likelihood: float | None = None
+    timings: dict = field(default_factory=dict)
+
+    @property
+    def newick(self) -> str:
+        return to_newick(self.tree)
+
+
+def filter_sets(sets: list[SequenceSet], cfg: Stage2Config) -> list[SequenceSet]:
+    """Taxon-count and representative filters
+    (SequenceSetProviderImpl.java:115-140, 223-247, 295-329)."""
+    out = []
+    for s in sets:
+        taxa = s.distinct_taxa()
+        if not (cfg.min_taxa <= len(taxa) <= cfg.max_taxa):
+            continue
+        if cfg.representative_only and len(taxa) != len(s):
+            # keep first member per taxon
+            seen: set[str] = set()
+            keep = []
+            for i, t in enumerate(s.taxa):
+                if t not in seen:
+                    seen.add(t)
+                    keep.append(i)
+            s = s.subset(keep)
+        out.append(s)
+    out.sort(key=len, reverse=True)
+    if cfg.target_sets is not None:
+        out = out[: cfg.target_sets]
+    return out
+
+
+def run_stage2(sets: list[SequenceSet],
+               cfg: Stage2Config | None = None) -> Stage2Result:
+    import time
+    cfg = cfg or Stage2Config()
+    rng = np.random.default_rng(cfg.seed)
+    timings: dict = {}
+
+    t0 = time.time()
+    kept = filter_sets(sets, cfg)
+    if not kept:
+        raise ValueError("no homolog groups survive the taxa filters")
+
+    alignments = align_sequence_sets(kept)
+    timings["align"] = time.time() - t0
+
+    t0 = time.time()
+    if cfg.trim:
+        trimmed = []
+        for a in alignments:
+            mask = gblocks_mask(a.mat)
+            if mask.sum() == 0:
+                continue
+            trimmed.append(Alignment(a.name, a.taxa, a.mat[:, mask],
+                                     titles=a.titles))
+        if trimmed:
+            alignments = trimmed
+    timings["trim"] = time.time() - t0
+
+    t0 = time.time()
+    cat = concatenate(alignments)
+    timings["concat"] = time.time() - t0
+
+    model = WagModel.create(alpha=cfg.gamma_alpha)
+    t0 = time.time()
+    ll = None
+    if cfg.full_tree_method == "nj":
+        full = nj_tree(cat.mat, cat.taxa)
+    else:
+        fast = cfg.full_tree_method == "fast_ml"
+        full, ll = ml_tree(
+            cat.mat, cat.taxa, model,
+            nni_rounds=(2 if fast else cfg.nni_rounds),
+            bl_steps=(60 if fast else cfg.bl_steps),
+            bl_refine_steps=(30 if fast else max(cfg.bl_steps // 3, 40)))
+    timings["full_tree"] = time.time() - t0
+
+    t0 = time.time()
+    reps = support_trees(cat, cfg.support_reps, rng, model=model,
+                         method=cfg.support_method,
+                         fraction=cfg.jackknife_fraction)
+    timings["support_trees"] = time.time() - t0
+
+    dec = decorated_tree(full, reps)
+    return Stage2Result(dec, full, reps, cat, alignments, ll, timings)

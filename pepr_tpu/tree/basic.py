@@ -392,6 +392,24 @@ def replace_subtree(tree: Tree, node: int, sub: Tree) -> Tree:
     return t
 
 
+def subtree_below(tree: Tree, node: int) -> Tree:
+    """Extract the subtree rooted at `node` as a standalone Tree (the
+    node becomes the new root; its parent-edge data is dropped)."""
+    keep = np.zeros(tree.n_nodes, dtype=bool)
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        keep[n] = True
+        stack.extend(tree.children[n])
+    parent = tree.parent.copy()
+    blen = tree.blen.copy()
+    support = tree.support.copy()
+    parent[node] = -1
+    blen[node] = math.nan
+    support[node] = math.nan
+    return _compact(parent, tree.labels, blen, support, keep)
+
+
 def remove_taxa(tree: Tree, names: set[str]) -> Tree:
     """Remove leaves by label, then suppress any resulting degree-1
     internal nodes (merging branch lengths), as BasicTree.removeTaxon
