@@ -1,0 +1,112 @@
+"""Benchmark harness: flagship-kernel throughput on the current device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: pruning-likelihood site evaluations per second
+(alignment sites x full-tree WAG+Gamma4 LL evals / s) on a 16-taxon,
+32k-site problem — the inner loop of tree search and bootstrap
+support (the reference has no published numbers, BASELINE.md, so
+vs_baseline is against the recorded self-baseline below).
+
+Extra metrics (Smith-Waterman GCUPS, NW profile-align GCUPS) go to
+stderr so the driver's one-line contract holds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Round-1 measured value on one TPU v5 lite chip (17.7M site-evals/s);
+# future rounds are compared against this.  Known headroom: the scan is
+# HBM-bound on the (n_nodes, C, L, 20) partials buffer — a Pallas
+# site-tiled kernel keeping all node partials in VMEM is the
+# speed-of-light design.
+SELF_BASELINE_SITE_EVALS = 17.7e6
+
+
+def bench_likelihood(n_taxa=16, L=32768, iters=10):
+    import jax
+    import jax.numpy as jnp
+    from pepr_tpu.models.treebuild import nj_start_tree
+    from pepr_tpu.ops.likelihood import (WagModel, loglik_sites,
+                                         tree_to_arrays)
+    from pepr_tpu.tree import parse_newick
+    from pepr_tpu.utils.simulate import simulate_alignment
+
+    rng = np.random.default_rng(0)
+    # balanced 16-taxon tree
+    def balanced(names):
+        if len(names) == 1:
+            return names[0] + ":0.1"
+        h = len(names) // 2
+        return f"({balanced(names[:h])},{balanced(names[h:])}):0.1"
+
+    names = [f"T{i}" for i in range(n_taxa)]
+    tree = parse_newick(f"({balanced(names[:8])},{balanced(names[8:])});")
+    codes, taxa = simulate_alignment(tree, L, rng)
+    arr = tree_to_arrays(tree, taxa)
+    model = WagModel.create()
+    args = (jnp.asarray(codes), jnp.asarray(arr.children),
+            jnp.asarray(arr.blen), jnp.asarray(model.eig),
+            jnp.asarray(model.u), jnp.asarray(model.u_inv),
+            jnp.asarray(model.pi), jnp.asarray(model.rates))
+    f = jax.jit(lambda *a: loglik_sites(*a).sum())
+    f(*args).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return L / dt, dt
+
+
+def bench_smith_waterman(batch=512, L=256, iters=5):
+    import jax.numpy as jnp
+    from pepr_tpu.ops.smith_waterman import kernel_matrix, sw_align_batch
+
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 20, size=(batch, L)).astype(np.int8)
+    t = rng.integers(0, 20, size=(batch, L)).astype(np.int8)
+    sub = jnp.asarray(kernel_matrix())
+    qd, td = jnp.asarray(q), jnp.asarray(t)
+    out = sw_align_batch(qd, td, sub)
+    out["score"].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = sw_align_batch(qd, td, sub)
+    out["score"].block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    cups = batch * L * L / dt
+    return cups, dt
+
+
+def main():
+    import jax
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    site_evals, ll_dt = bench_likelihood()
+    print(f"likelihood: {site_evals/1e6:.1f}M site-evals/s "
+          f"({ll_dt*1e3:.1f} ms / full eval)", file=sys.stderr)
+    try:
+        cups, sw_dt = bench_smith_waterman()
+        print(f"smith-waterman: {cups/1e9:.2f} GCUPS "
+              f"({sw_dt*1e3:.1f} ms / 512x256x256 batch)", file=sys.stderr)
+    except Exception as e:  # secondary metric must not break the line
+        print(f"smith-waterman bench failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "pruning_ll_site_evals_per_s",
+        "value": round(site_evals, 1),
+        "unit": "site-evals/s",
+        "vs_baseline": round(site_evals / SELF_BASELINE_SITE_EVALS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

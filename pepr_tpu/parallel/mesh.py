@@ -1,0 +1,156 @@
+"""Device-mesh sharding for the likelihood/bootstrap fan-out.
+
+The reference's concurrency mechanisms (thread pools over gene
+families, jackknife replicates, query shards — SURVEY section 2c) map
+onto a 2-D device mesh:
+
+- axis "rep" (data-parallel): jackknife/bootstrap replicates — each
+  replicate is a (site-weights, topology, branch-lengths) triple of
+  identical shape, so the whole replicate fan-out is one sharded
+  computation (replacing PhylogenomicPipeline2.java:1039-1099's
+  RAM-throttled thread pool).
+- axis "site" (sequence-parallel): alignment columns are independent
+  in the pruning kernel, so partials shard cleanly along L; the only
+  cross-device communication is the final weighted-sum reduction
+  (psum over ICI).
+
+Collectives are inserted by XLA from sharding annotations (jit +
+NamedSharding) — no hand-written NCCL/MPI analog is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pepr_tpu.ops.likelihood import WagModel, loglik_sites
+
+
+def default_mesh(axes: tuple[str, ...] = ("rep", "site"),
+                 devices=None) -> Mesh:
+    """Mesh over all local devices: replicate axis x site axis.  With D
+    devices uses (R, S) with R*S == D, R as square as possible."""
+    devices = jax.devices() if devices is None else devices
+    d = len(devices)
+    if len(axes) == 1:
+        return Mesh(np.array(devices), axes)
+    r = int(np.floor(np.sqrt(d)))
+    while d % r:
+        r -= 1
+    grid = np.array(devices).reshape(r, d // r)
+    return Mesh(grid, axes)
+
+
+def _pad_sites(arr: np.ndarray, mult: int, axis: int, fill=0):
+    L = arr.shape[axis]
+    pad = (-L) % mult
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def shard_sites(mesh: Mesh, codes: np.ndarray, weights: np.ndarray):
+    """Place the alignment and site weights sharded along the mesh's
+    'site' axis (codes padded with PAD, weights with 0 so padding can
+    never contribute)."""
+    n_site = mesh.shape["site"]
+    codes_p = _pad_sites(np.asarray(codes, np.int8), n_site, 1, fill=24)
+    w_p = _pad_sites(np.asarray(weights, np.float32), n_site, 0, fill=0.0)
+    codes_s = jax.device_put(
+        codes_p, NamedSharding(mesh, P(None, "site")))
+    w_s = jax.device_put(w_p, NamedSharding(mesh, P("site")))
+    return codes_s, w_s
+
+
+def sharded_loglik(mesh: Mesh, codes, weights, children, blen,
+                   model: WagModel):
+    """Site-sharded total log-likelihood: each device computes its site
+    slice's weighted LL; XLA reduces with a psum over the 'site' axis."""
+    codes_s, w_s = shard_sites(mesh, codes, weights)
+    margs = tuple(jnp.asarray(x) for x in
+                  (model.eig, model.u, model.u_inv, model.pi, model.rates))
+
+    @jax.jit
+    def f(codes, w, children, blen):
+        ll = loglik_sites(codes, children, blen, *margs)
+        return (ll * w).sum()
+
+    return f(codes_s, w_s, jnp.asarray(children), jnp.asarray(blen))
+
+
+def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
+                            rep_children: np.ndarray,
+                            rep_blen: np.ndarray, model: WagModel,
+                            steps: int = 60, lr: float = 0.03):
+    """Jackknife fan-out: optimize branch lengths of R replicates (each
+    its own topology + site-weight mask) in parallel, replicates sharded
+    over the 'rep' mesh axis and sites over the 'site' axis.
+
+    Returns (blen (R, n_nodes), ll (R,)).
+    """
+    import optax
+
+    R = rep_weights.shape[0]
+    n_rep = mesh.shape["rep"]
+    n_site = mesh.shape["site"]
+    # pad replicate axis
+    def pad_r(a):
+        pad = (-a.shape[0]) % n_rep
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+        return a
+
+    rw = pad_r(_pad_sites(np.asarray(rep_weights, np.float32), n_site, 1))
+    rc = pad_r(np.asarray(rep_children, np.int32))
+    rb = pad_r(np.asarray(rep_blen, np.float32))
+    codes_p = _pad_sites(np.asarray(codes, np.int8), n_site, 1, fill=24)
+
+    codes_s = jax.device_put(codes_p, NamedSharding(mesh, P(None, "site")))
+    rw_s = jax.device_put(rw, NamedSharding(mesh, P("rep", "site")))
+    rc_s = jax.device_put(rc, NamedSharding(mesh, P("rep")))
+    rb_s = jax.device_put(rb, NamedSharding(mesh, P("rep")))
+
+    margs = tuple(jnp.asarray(x) for x in
+                  (model.eig, model.u, model.u_inv, model.pi, model.rates))
+
+    def softplus(x):
+        return jnp.logaddexp(x, 0.0)
+
+    def inv_softplus(y):
+        y = jnp.maximum(y, 1e-6)
+        return jnp.where(y > 20, y, jnp.log(jnp.expm1(y)))
+
+    @jax.jit
+    def run(codes, rw, rc, rb):
+        opt = optax.adam(lr)
+
+        def one_nll(theta, children, w):
+            ll = loglik_sites(codes, children, softplus(theta), *margs)
+            return -(ll * w).sum()
+
+        nll = jax.vmap(one_nll, in_axes=(0, 0, 0))
+
+        def total(theta):
+            return nll(theta, rc, rw).sum()
+
+        theta0 = inv_softplus(rb)
+        state0 = opt.init(theta0)
+
+        def body(carry, _):
+            theta, state = carry
+            g = jax.grad(total)(theta)
+            updates, state = opt.update(g, state, theta)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, state), None
+
+        (theta, _), _ = jax.lax.scan(body, (theta0, state0), None,
+                                     length=steps)
+        ll = -nll(theta, rc, rw)
+        return softplus(theta), ll
+
+    blen, ll = run(codes_s, rw_s, rc_s, rb_s)
+    return np.asarray(blen)[:R], np.asarray(ll)[:R]
