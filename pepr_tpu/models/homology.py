@@ -76,23 +76,38 @@ class HitTable:
     length: np.ndarray  # (M,) aligned columns
 
 
+def _pow2_len(x: int, lo: int = 128, hi: int = 4096) -> int:
+    x = min(max(int(x), 1), hi)
+    return int(max(lo, 2 ** int(np.ceil(np.log2(x)))))
+
+
 def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
                  pairs_t: np.ndarray, batch_size: int = 1024,
-                 length_multiple: int = 128,
                  max_len: int = 4096) -> dict[str, np.ndarray]:
-    """Run SW on an arbitrary pair list, bucketing by padded lengths so
-    device shapes stay few and compiles are cached."""
+    """Run SW on an arbitrary pair list.
+
+    Compile-count discipline: lengths are bucketed to powers of two,
+    every batch is padded to a fixed `batch_size`, and each pair is
+    oriented so the shorter sequence is the DP "query" (BLOSUM62 is
+    symmetric, so score/matches/length are orientation-invariant and
+    the wavefront does Lq-proportional work per step).
+    """
     sub = jnp.asarray(kernel_matrix())
     n_pairs = len(pairs_q)
     out = {k: np.zeros(n_pairs, dtype=np.float32)
            for k in ("score", "matches", "length")}
+    if n_pairs == 0:
+        return out
 
-    def padded_len(x: int) -> int:
-        x = min(int(x), max_len)
-        return int(np.ceil(max(x, 1) / length_multiple) * length_multiple)
-
-    lq = np.array([padded_len(universe.lengths[q]) for q in pairs_q])
-    lt = np.array([padded_len(universe.lengths[t]) for t in pairs_t])
+    lens_q = universe.lengths[pairs_q]
+    lens_t = universe.lengths[pairs_t]
+    swap = lens_q > lens_t
+    eff_q = np.where(swap, pairs_t, pairs_q)
+    eff_t = np.where(swap, pairs_q, pairs_t)
+    lq = np.array([_pow2_len(universe.lengths[q], hi=max_len)
+                   for q in eff_q])
+    lt = np.array([_pow2_len(universe.lengths[t], hi=max_len)
+                   for t in eff_t])
     buckets: dict[tuple[int, int], list[int]] = {}
     for i in range(n_pairs):
         buckets.setdefault((int(lq[i]), int(lt[i])), []).append(i)
@@ -101,16 +116,16 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
         for s0 in range(0, len(idxs), batch_size):
             chunk = idxs[s0:s0 + batch_size]
             B = len(chunk)
-            qb = np.full((B, blq), 24, dtype=np.int8)
-            tb = np.full((B, blt), 24, dtype=np.int8)
+            qb = np.full((batch_size, blq), 24, dtype=np.int8)
+            tb = np.full((batch_size, blt), 24, dtype=np.int8)
             for bi, pi in enumerate(chunk):
-                qs = universe.seqs[pairs_q[pi]][:blq]
-                ts = universe.seqs[pairs_t[pi]][:blt]
+                qs = universe.seqs[eff_q[pi]][:blq]
+                ts = universe.seqs[eff_t[pi]][:blt]
                 qb[bi, :len(qs)] = qs
                 tb[bi, :len(ts)] = ts
             res = sw_align_batch(jnp.asarray(qb), jnp.asarray(tb), sub)
             for k in out:
-                out[k][chunk] = np.asarray(res[k])
+                out[k][chunk] = np.asarray(res[k])[:B]
     return out
 
 

@@ -139,16 +139,22 @@ def align_families(families: list[list[np.ndarray]], *,
             jobs.append((fi, ci, cj, a, b))
         profs1 = [_profile(j[3].mat) for j in jobs]
         profs2 = [_profile(j[4].mat) for j in jobs]
-        # bucket by padded length pair
+
+        # bucket by power-of-two padded length pair (compile discipline)
         def pl(p):
-            return int(np.ceil(max(p.shape[0], 1) / length_multiple)
-                       * length_multiple)
+            x = max(p.shape[0], 1)
+            return int(max(length_multiple,
+                           2 ** int(np.ceil(np.log2(x)))))
+
         buckets: dict[tuple[int, int], list[int]] = {}
         for k, (pa, pb) in enumerate(zip(profs1, profs2)):
             buckets.setdefault((pl(pa), pl(pb)), []).append(k)
         for (L1, L2), idxs in sorted(buckets.items()):
             for s0 in range(0, len(idxs), batch_size):
                 chunk = idxs[s0:s0 + batch_size]
+                # pad the batch dim to a power of two as well
+                bpad = int(2 ** np.ceil(np.log2(max(len(chunk), 1))))
+                chunk = chunk + [chunk[-1]] * (bpad - len(chunk))
                 p1, l1 = _pad_profiles([profs1[k] for k in chunk],
                                        length_multiple)
                 p2, l2 = _pad_profiles([profs2[k] for k in chunk],
@@ -160,7 +166,11 @@ def align_families(families: list[list[np.ndarray]], *,
                     jnp.asarray(l2), gap_open=gap_open,
                     gap_extend=gap_extend)
                 ptrs = np.asarray(ptrs)
+                done: set[int] = set()
                 for bi, k in enumerate(chunk):
+                    if k in done:  # batch padding duplicates
+                        continue
+                    done.add(k)
                     fi, ci, cj, a, b = jobs[k]
                     moves = traceback(ptrs[bi], int(l1[bi]), int(l2[bi]))
                     st = states[fi]
