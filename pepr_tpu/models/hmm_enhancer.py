@@ -1,0 +1,149 @@
+"""HMM-based homolog-group enhancement + outgroup selection.
+
+Re-design of HMMSetEnhancer (HMMSetEnhancer.java:86-324): align each
+homolog group, build a profile HMM per group (ops/hmm.py), score every
+genome's proteins (ingroup + outgroup pool) against the profiles
+(k-mer consensus prefilter + batched Viterbi DP — the MSV/Forward
+pipeline role of `hmmsearch --tblout -E 1e-40`), pick the
+`outgroup_count` pool genomes with the highest summed best-hit scores,
+and rebuild each group from its score-ranked hits, adding members
+until a genome repeats (HMMSetEnhancer.java:241-288).
+
+Deliberate divergence: the reference's outgroup ranking loop reads
+`hmmScoreSums[i]` with the wrong loop variable (HMMSetEnhancer.java:
+191), which tends to pick pool genomes in file order; we rank by the
+actual score sums.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pepr_tpu.alphabet import GAP, N_AA, PAD
+from pepr_tpu.io.fasta import SequenceSet
+from pepr_tpu.models.msa import align_families
+from pepr_tpu.ops.hmm import ProfileHMM, build_profile_hmm, \
+    profile_score_pairs
+from pepr_tpu.ops.kmer_filter import candidate_pairs, kmer_profiles
+
+
+def consensus_sequence(aln: np.ndarray) -> np.ndarray:
+    """Majority residue per column (gap columns dropped) — the k-mer
+    prefilter key for a profile."""
+    n, L = aln.shape
+    counts = np.zeros((N_AA, L), dtype=np.int32)
+    for a in range(N_AA):
+        counts[a] = (aln == a).sum(axis=0)
+    best = counts.argmax(axis=0).astype(np.int8)
+    coverage = counts.max(axis=0)
+    gaps = ((aln == GAP) | (aln == PAD)).sum(axis=0)
+    keep = gaps <= n // 2
+    return best[keep] if keep.any() else best
+
+
+@dataclass
+class EnhancerResult:
+    enhanced_sets: list[SequenceSet]
+    selected_outgroups: list[str]
+    genome_scores: dict[str, float] = field(default_factory=dict)
+
+
+def enhance_homolog_groups(hg_sets: list[SequenceSet],
+                           ingroup: list[SequenceSet],
+                           outgroup_pool: list[SequenceSet],
+                           outgroup_count: int = 2,
+                           min_bits: float = 100.0,
+                           candidates_per_block: int = 6,
+                           prefilter_min_sim: float = 0.1) -> EnhancerResult:
+    if not hg_sets:
+        return EnhancerResult([], [])
+    # 1. align groups, build profiles + consensus keys
+    mats = align_families([s.seqs for s in hg_sets])
+    hmms: list[ProfileHMM] = []
+    consensi: list[np.ndarray] = []
+    for s, m in zip(hg_sets, mats):
+        hmms.append(build_profile_hmm(m, name=s.name))
+        consensi.append(consensus_sequence(m))
+
+    # 2. flat protein axis over all genomes (pool first, then ingroup —
+    # the search covers both, HMMSetEnhancer.java:136-140)
+    genomes = list(outgroup_pool) + list(ingroup)
+    n_pool = len(outgroup_pool)
+    seqs: list[np.ndarray] = []
+    genome_of: list[int] = []
+    titles: list[tuple[int, int]] = []  # (genome, local index)
+    for gi, g in enumerate(genomes):
+        for li, s in enumerate(g.seqs):
+            seqs.append(s)
+            genome_of.append(gi)
+            titles.append((gi, li))
+    genome_of = np.array(genome_of, dtype=np.int64)
+
+    # 3. prefilter: consensus k-mer profiles in blocks
+    prof_prot = kmer_profiles(seqs)
+    prof_cons = kmer_profiles(consensi)
+    block = 2048
+    offsets = np.arange(0, len(consensi) + block, block, dtype=np.int64)
+    offsets[-1] = min(int(offsets[-1]), len(consensi))
+    offsets = np.unique(offsets)
+    cand, _ = candidate_pairs(prof_prot, prof_cons, offsets,
+                              top_per_genome=candidates_per_block,
+                              min_sim=prefilter_min_sim)
+    flat = cand.reshape(len(seqs), -1)
+    pairs: list[tuple[int, int]] = []
+    for p in range(flat.shape[0]):
+        for h in flat[p]:
+            if h >= 0:
+                pairs.append((p, int(h)))
+
+    # 4. exact profile scores
+    bits = profile_score_pairs(seqs, hmms, pairs)
+
+    # best hit per (genome, hg) and per (protein, hg)
+    best_gh: dict[tuple[int, int], tuple[float, int]] = {}
+    hg_hits: dict[int, list[tuple[float, int]]] = {}
+    for (p, h), b in zip(pairs, bits):
+        if b < min_bits:
+            continue
+        g = int(genome_of[p])
+        cur = best_gh.get((g, h))
+        if cur is None or b > cur[0]:
+            best_gh[(g, h)] = (float(b), p)
+        hg_hits.setdefault(h, []).append((float(b), p))
+
+    # 5. outgroup selection: summed best-per-HG scores over pool genomes
+    pool_scores = np.zeros(max(n_pool, 1))
+    for (g, h), (b, _) in best_gh.items():
+        if g < n_pool:
+            pool_scores[g] += b
+    order = np.argsort(-pool_scores)
+    selected = [int(i) for i in order[:outgroup_count]
+                if n_pool and pool_scores[i] > 0]
+    selected_names = [genomes[i].taxon for i in selected]
+    allowed_genomes = set(selected) | set(range(n_pool, len(genomes)))
+
+    # 6. rebuild sets: rank hits, add members until a genome repeats
+    enhanced: list[SequenceSet] = []
+    for h, s in enumerate(hg_sets):
+        hits = sorted(hg_hits.get(h, []), reverse=True)
+        new_titles: list[str] = []
+        new_seqs: list[np.ndarray] = []
+        seen_genomes: set[int] = set()
+        for b, p in hits:
+            gi, li = titles[p]
+            if gi not in allowed_genomes:
+                continue
+            if gi in seen_genomes:
+                break  # first duplicate genome ends the set
+            seen_genomes.add(gi)
+            new_titles.append(genomes[gi].titles[li])
+            new_seqs.append(genomes[gi].seqs[li])
+        if len(new_seqs) >= 2:
+            enhanced.append(SequenceSet(s.name, new_titles, new_seqs))
+        else:
+            enhanced.append(s)  # keep original if scoring found nothing
+    gscores = {genomes[i].taxon: float(pool_scores[i])
+               for i in range(n_pool)}
+    return EnhancerResult(enhanced, selected_names, gscores)

@@ -1,0 +1,246 @@
+"""Profile HMMs: build from an MSA, score proteins with Forward DP.
+
+The compute replacement for HMMER3's hmmbuild/hmmsearch as the
+reference uses them (HMMSetEnhancer.java:483-532: one HMM per homolog
+group built from its muscle alignment, then searched against every
+genome with `--tblout -E 1e-40`, keeping full-sequence scores).
+
+Model: Plan7-style profile with match/insert/delete states, uniform
+local entry/exit (multihit omitted — the pipeline consumes one
+full-sequence score per (profile, protein)).  Scoring is a log-space
+Forward over sequence positions: a `lax.scan` carrying (B, M) state
+vectors, batched over proteins on the VPU; profiles are padded to
+power-of-two lengths for compile discipline.
+
+Build follows HMMER's architecture rule: alignment columns with gap
+fraction <= 0.5 become match states; emissions are observed
+frequencies smoothed with background pseudocounts; scores are log-odds
+against the background (WAG equilibrium frequencies).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pepr_tpu.alphabet import GAP, N_AA, PAD
+from pepr_tpu.data.wag import WAG_FREQS
+
+NEG = -1e30
+
+
+@dataclass
+class ProfileHMM:
+    match_logodds: np.ndarray  # (M, 20) log2(e_m(a) / bg(a))
+    log_tmm: np.ndarray  # (M+1,) log2 P(M->M) (index 0 = begin)
+    log_tmi: np.ndarray  # (M+1,)
+    log_tmd: np.ndarray  # (M+1,)
+    log_tim: np.ndarray  # (M+1,)
+    log_tii: np.ndarray  # (M+1,)
+    log_tdm: np.ndarray  # (M+1,)
+    log_tdd: np.ndarray  # (M+1,)
+    name: str = ""
+
+    @property
+    def length(self) -> int:
+        return self.match_logodds.shape[0]
+
+
+def build_profile_hmm(aln: np.ndarray, name: str = "",
+                      pseudo: float = 1.0,
+                      gap_cutoff: float = 0.5) -> ProfileHMM:
+    """Build a profile from an aligned (n, L) int8 matrix."""
+    n, L = aln.shape
+    bg = WAG_FREQS / WAG_FREQS.sum()
+    is_gap = (aln == GAP) | (aln == PAD)
+    gap_frac = is_gap.mean(axis=0)
+    match_cols = np.where(gap_frac <= gap_cutoff)[0]
+    M = len(match_cols)
+    if M == 0:
+        match_cols = np.arange(L)
+        M = L
+
+    counts = np.zeros((M, N_AA))
+    for mi, col in enumerate(match_cols):
+        for a in range(N_AA):
+            counts[mi, a] = (aln[:, col] == a).sum()
+    probs = (counts + pseudo * bg[None, :])
+    probs /= probs.sum(axis=1, keepdims=True)
+    match_logodds = np.log2(probs / bg[None, :])
+
+    # transition counts from the gap structure between match columns
+    tmm = np.full(M + 1, 0.9)
+    tmi = np.full(M + 1, 0.05)
+    tmd = np.full(M + 1, 0.05)
+    tim = np.full(M + 1, 0.5)
+    tii = np.full(M + 1, 0.5)
+    tdm = np.full(M + 1, 0.5)
+    tdd = np.full(M + 1, 0.5)
+    # refine from data: for consecutive match cols, count deletions
+    # (gap at col) and insertions (residues in between)
+    for mi in range(M):
+        col = match_cols[mi]
+        del_frac = is_gap[:, col].mean()
+        tmd[mi] = min(max(del_frac, 0.02), 0.6)
+        if mi + 1 < M:
+            between = np.arange(match_cols[mi] + 1, match_cols[mi + 1])
+        else:
+            between = np.arange(match_cols[mi] + 1, L)
+        if len(between):
+            ins_frac = (~is_gap[:, between]).mean()
+            tmi[mi] = min(max(ins_frac, 0.02), 0.5)
+        else:
+            tmi[mi] = 0.02
+        tmm[mi] = max(1.0 - tmi[mi] - tmd[mi], 0.1)
+        s = tmm[mi] + tmi[mi] + tmd[mi]
+        tmm[mi] /= s
+        tmi[mi] /= s
+        tmd[mi] /= s
+
+    def lg(x):
+        return np.log2(np.maximum(x, 1e-10))
+
+    return ProfileHMM(match_logodds.astype(np.float32), lg(tmm), lg(tmi),
+                      lg(tmd), lg(tim), lg(tii), lg(tdm), lg(tdd), name)
+
+
+def pack_profiles(hmms: list[ProfileHMM], length: int | None = None):
+    """Stack profiles into padded arrays for the batched kernel.
+    Returns dict of (H, Mpad[, 20]) arrays + (H,) lengths."""
+    ms = [h.length for h in hmms]
+    mpad = int(length or 2 ** int(np.ceil(np.log2(max(max(ms), 2)))))
+    H = len(hmms)
+    emit = np.full((H, mpad, N_AA), -20.0, dtype=np.float32)
+    fields = {k: np.full((H, mpad + 1), -20.0, dtype=np.float32)
+              for k in ("tmm", "tmi", "tmd", "tim", "tii", "tdm", "tdd")}
+    for i, h in enumerate(hmms):
+        m = h.length
+        emit[i, :m] = h.match_logodds[:mpad]
+        for k, arr in (("tmm", h.log_tmm), ("tmi", h.log_tmi),
+                       ("tmd", h.log_tmd), ("tim", h.log_tim),
+                       ("tii", h.log_tii), ("tdm", h.log_tdm),
+                       ("tdd", h.log_tdd)):
+            fields[k][i, : m + 1] = arr[: mpad + 1]
+    return emit, fields, np.array(ms, dtype=np.int32)
+
+
+def _maxplus_linear_scan(s: jax.Array, d: jax.Array) -> jax.Array:
+    """Solve x_k = max(s_k, x_{k-1} + d_{k-1}) along the last axis
+    (x_{-1} = -inf) with an associative scan in the max-plus algebra.
+
+    Each position is an affine map f_k(x) = max(s_k, x + a_k) with
+    a_k = d_{k-1}; composition (a1,s1) then (a2,s2) is
+    (a1+a2, max(s2, s1+a2)), which is associative.
+    """
+    a = jnp.concatenate([jnp.full(d.shape[:-1] + (1,), NEG, d.dtype),
+                         d[..., :-1]], axis=-1)
+
+    def combine(left, right):
+        a1, s1 = left
+        a2, s2 = right
+        return a1 + a2, jnp.maximum(s2, s1 + a2)
+
+    _, x = jax.lax.associative_scan(combine, (a, s), axis=-1)
+    return x
+
+
+@jax.jit
+def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
+                        emit: jax.Array, tmm, tmi, tmd, tim, tii, tdm,
+                        tdd, m_lens: jax.Array) -> jax.Array:
+    """Plan7 local Viterbi scores (bits) for B (sequence, profile) pairs.
+
+    seq_codes: (B, L) int8; emit: (B, M, 20) log-odds; transitions
+    (B, M+1) in log2.  Free uniform entry into any match state (cost
+    log2(1/M)) and free exit from any match state — the full-sequence
+    local score the pipeline consumes (hmmsearch bit-score role; the
+    reference keeps only the per-pair score, HMMSetEnhancer.java:404).
+    """
+    B, L = seq_codes.shape
+    M = emit.shape[1]
+    entry = -jnp.log2(jnp.maximum(m_lens.astype(jnp.float32), 1.0))
+    k_idx = jnp.arange(M)[None, :]
+    k_valid = k_idx < m_lens[:, None]
+
+    def step(carry, x):
+        codes, pos = x  # (B,), scalar
+        vm, vi, vd, total = carry
+        e = jnp.take_along_axis(
+            emit, codes[:, None, None].astype(jnp.int32), axis=2)[..., 0]
+        e = jnp.where((codes >= N_AA)[:, None], 0.0, e)
+
+        def shift(v):
+            return jnp.concatenate(
+                [jnp.full((B, 1), NEG, v.dtype), v[:, :-1]], axis=1)
+
+        best_in = jnp.maximum(
+            jnp.maximum(shift(vm) + shift(tmm[:, :M]),
+                        shift(vi) + shift(tim[:, :M])),
+            jnp.maximum(shift(vd) + shift(tdm[:, :M]), entry[:, None]))
+        new_vm = jnp.where(k_valid, e + best_in, NEG)
+        new_vi = jnp.maximum(vm + tmi[:, :M], vi + tii[:, :M])
+        # delete chain within this position: d_k = max(m_{k-1} + tmd_{k-1},
+        # d_{k-1} + tdd_{k-1})
+        s_term = shift(new_vm) + shift(tmd[:, :M])
+        new_vd = _maxplus_linear_scan(s_term, tdd[:, :M])
+        new_total = jnp.maximum(total, jnp.max(new_vm, axis=1))
+
+        live = pos < seq_lens
+        vm = jnp.where(live[:, None], new_vm, vm)
+        vi = jnp.where(live[:, None], new_vi, vi)
+        vd = jnp.where(live[:, None], new_vd, vd)
+        total = jnp.where(live, new_total, total)
+        return (vm, vi, vd, total), None
+
+    init = (jnp.full((B, M), NEG), jnp.full((B, M), NEG),
+            jnp.full((B, M), NEG), jnp.full((B,), NEG))
+    xs = (seq_codes.T, jnp.arange(L))
+    (_, _, _, total), _ = jax.lax.scan(step, init, xs)
+    return total
+
+
+def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
+                        pairs: list[tuple[int, int]],
+                        batch_size: int = 256) -> np.ndarray:
+    """Score (sequence index, hmm index) pairs; returns bits (P,)."""
+    if not pairs:
+        return np.zeros(0, np.float32)
+    out = np.zeros(len(pairs), np.float32)
+    # bucket by (padded seq len, padded profile len)
+    def p2(x, lo):
+        return int(max(lo, 2 ** int(np.ceil(np.log2(max(x, 1))))))
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for k, (si, hi) in enumerate(pairs):
+        key = (p2(len(seqs[si]), 128), p2(hmms[hi].length, 64))
+        buckets.setdefault(key, []).append(k)
+    for (lpad, mpad), idxs in sorted(buckets.items()):
+        for s0 in range(0, len(idxs), batch_size):
+            chunk = idxs[s0:s0 + batch_size]
+            B = len(chunk)
+            bpad = int(2 ** np.ceil(np.log2(max(B, 1))))
+            codes = np.full((bpad, lpad), PAD, dtype=np.int8)
+            lens = np.zeros(bpad, np.int32)
+            sub_hmms = []
+            for bi, k in enumerate(chunk):
+                si, hi = pairs[k]
+                s = seqs[si][:lpad]
+                codes[bi, :len(s)] = s
+                lens[bi] = len(s)
+                sub_hmms.append(hmms[hi])
+            while len(sub_hmms) < bpad:
+                sub_hmms.append(sub_hmms[-1])
+                lens[len(sub_hmms) - 1] = 1
+            emit, fields, m_lens = pack_profiles(sub_hmms, mpad)
+            res = viterbi_score_batch(
+                jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(emit),
+                jnp.asarray(fields["tmm"]), jnp.asarray(fields["tmi"]),
+                jnp.asarray(fields["tmd"]), jnp.asarray(fields["tim"]),
+                jnp.asarray(fields["tii"]), jnp.asarray(fields["tdm"]),
+                jnp.asarray(fields["tdd"]), jnp.asarray(m_lens))
+            out[chunk] = np.asarray(res)[:B]
+    return out

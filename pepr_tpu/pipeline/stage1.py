@@ -68,18 +68,32 @@ def filter_duplicate_species(genomes: list[SequenceSet],
 
 def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
                     cfg: Stage1Config):
-    """Score every outgroup-pool genome against every homolog group:
-    per (pool protein, HG) best SW score against the group members; a
-    genome's score is the sum over groups of its best member hit."""
+    """Score every outgroup-pool genome against the homolog groups.
+
+    The role of HMMSetEnhancer's hmmsearch sweep (HMMSetEnhancer.java:
+    146-215): here each pool protein is searched against the ingroup
+    genomes (k-mer candidates + exact SW), hits are mapped to the HG of
+    the hit protein, and a genome's score is the sum over HGs of its
+    best member's bit score.  Returns (selected pool genome indices,
+    {(genome, hg) -> (bits, pool protein index)}).
+    """
     if not pool or not hg_sets:
         return [], {}
-    # target axis = HG members concatenated, offsets per HG
+    # ingroup-member target axis grouped by HG (contiguous blocks),
+    # treating each HG as a "genome" would explode the device-call
+    # count, so group the same proteins by block of equal size: simply
+    # use one block per ~4096 proteins and map hits back to HGs.
     target_seqs: list[np.ndarray] = []
-    offsets = [0]
-    for s in hg_sets:
+    target_hg: list[int] = []
+    for hg_i, s in enumerate(hg_sets):
         target_seqs.extend(s.seqs)
-        offsets.append(len(target_seqs))
-    offsets = np.array(offsets, dtype=np.int64)
+        target_hg.extend([hg_i] * len(s))
+    target_hg = np.array(target_hg, dtype=np.int64)
+    block = 4096
+    n_t = len(target_seqs)
+    offsets = np.arange(0, n_t + block, block, dtype=np.int64)
+    offsets[-1] = min(int(offsets[-1]), n_t)
+    offsets = np.unique(offsets)
 
     pool_seqs: list[np.ndarray] = []
     pool_genome: list[int] = []
@@ -90,22 +104,19 @@ def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
 
     prof_q = kmer_profiles(pool_seqs)
     prof_t = kmer_profiles(target_seqs)
-    cand_idx, _ = candidate_pairs(prof_q, prof_t, offsets, top_per_genome=2)
-
-    nq, G, C = cand_idx.shape
-    qs, ts, hgs = [], [], []
-    for q in range(nq):
-        for g in range(G):
-            for c in range(C):
-                t = cand_idx[q, g, c]
-                if t >= 0:
-                    qs.append(q)
-                    ts.append(t)
-                    hgs.append(g)
+    # top candidates per pool protein per target block
+    cand_idx, _ = candidate_pairs(prof_q, prof_t, offsets,
+                                  top_per_genome=3)
+    flat = cand_idx.reshape(len(pool_seqs), -1)
+    qs, ts = [], []
+    for q in range(flat.shape[0]):
+        for t in flat[q]:
+            if t >= 0:
+                qs.append(q)
+                ts.append(int(t))
     if not qs:
         return [], {}
 
-    # fake universe over pool + targets for the bucketed SW helper
     class _U:
         pass
 
@@ -118,11 +129,10 @@ def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
     from pepr_tpu.data.blosum62 import raw_to_bit_score
     bits = raw_to_bit_score(res["score"])
 
-    # best (genome, HG) -> (bits, pool protein index)
     best: dict[tuple[int, int], tuple[float, int]] = {}
     for k in range(len(pq)):
         g = int(pool_genome[qs[k]])
-        hg = int(hgs[k])
+        hg = int(target_hg[ts[k]])
         b = float(bits[k])
         if b < cfg.outgroup_min_bits:
             continue
