@@ -17,9 +17,11 @@ evalue 0.1, minIdentity 10, minScore 15; :911-987 bidirectional filter;
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pepr_tpu.data.blosum62 import bit_score_to_evalue, raw_to_bit_score
@@ -81,16 +83,30 @@ def _pow2_len(x: int, lo: int = 128, hi: int = 4096) -> int:
     return int(max(lo, 2 ** int(np.ceil(np.log2(x)))))
 
 
+@functools.partial(jax.jit, static_argnames=("blq", "blt"))
+def _sw_gather_call(codes_all: jax.Array, q_idx: jax.Array,
+                    t_idx: jax.Array, sub: jax.Array, blq: int, blt: int):
+    """Gather a pair batch from the device-resident code matrix and run
+    SW — only the (B,) index vectors cross the host-device link."""
+    qb = codes_all[q_idx, :blq]
+    tb = codes_all[t_idx, :blt]
+    return sw_align_batch(qb, tb, sub)
+
+
 def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
                  pairs_t: np.ndarray, batch_size: int = 1024,
                  max_len: int = 4096) -> dict[str, np.ndarray]:
     """Run SW on an arbitrary pair list.
 
-    Compile-count discipline: lengths are bucketed to powers of two,
-    every batch is padded to a fixed `batch_size`, and each pair is
-    oriented so the shorter sequence is the DP "query" (BLOSUM62 is
-    symmetric, so score/matches/length are orientation-invariant and
-    the wavefront does Lq-proportional work per step).
+    Transfer/compile discipline (the TPU tunnel makes host->device
+    bytes precious): all protein codes are packed PAD-filled into one
+    device-resident (N, Lmax) int8 matrix ONCE; every batch then ships
+    only two (batch,) index vectors and gathers on-device.  Lengths
+    are bucketed to powers of two, batches padded to a fixed size, and
+    each pair oriented so the shorter sequence is the DP "query"
+    (BLOSUM62 is symmetric, so score/matches/length are
+    orientation-invariant and the wavefront does Lq-proportional work
+    per step).
     """
     sub = jnp.asarray(kernel_matrix())
     n_pairs = len(pairs_q)
@@ -99,31 +115,37 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
     if n_pairs == 0:
         return out
 
-    lens_q = universe.lengths[pairs_q]
-    lens_t = universe.lengths[pairs_t]
+    lens = np.asarray(universe.lengths)
+    lmax = _pow2_len(int(lens.max()), hi=max_len)
+    packed = np.full((len(universe.seqs), lmax), 24, dtype=np.int8)
+    for i, s in enumerate(universe.seqs):
+        n = min(len(s), lmax)
+        packed[i, :n] = np.asarray(s[:n], dtype=np.int8)
+    codes_all = jax.device_put(packed)
+
+    lens_q = lens[pairs_q]
+    lens_t = lens[pairs_t]
     swap = lens_q > lens_t
     eff_q = np.where(swap, pairs_t, pairs_q)
     eff_t = np.where(swap, pairs_q, pairs_t)
-    lq = np.array([_pow2_len(universe.lengths[q], hi=max_len)
-                   for q in eff_q])
-    lt = np.array([_pow2_len(universe.lengths[t], hi=max_len)
-                   for t in eff_t])
+    lq = np.minimum(lens[eff_q], max_len)
+    lt = np.minimum(lens[eff_t], max_len)
+    blq_arr = np.array([_pow2_len(x, hi=max_len) for x in lq])
+    blt_arr = np.array([_pow2_len(x, hi=max_len) for x in lt])
     buckets: dict[tuple[int, int], list[int]] = {}
     for i in range(n_pairs):
-        buckets.setdefault((int(lq[i]), int(lt[i])), []).append(i)
+        buckets.setdefault((int(blq_arr[i]), int(blt_arr[i])), []).append(i)
 
     for (blq, blt), idxs in sorted(buckets.items()):
         for s0 in range(0, len(idxs), batch_size):
             chunk = idxs[s0:s0 + batch_size]
             B = len(chunk)
-            qb = np.full((batch_size, blq), 24, dtype=np.int8)
-            tb = np.full((batch_size, blt), 24, dtype=np.int8)
-            for bi, pi in enumerate(chunk):
-                qs = universe.seqs[eff_q[pi]][:blq]
-                ts = universe.seqs[eff_t[pi]][:blt]
-                qb[bi, :len(qs)] = qs
-                tb[bi, :len(ts)] = ts
-            res = sw_align_batch(jnp.asarray(qb), jnp.asarray(tb), sub)
+            qi = np.zeros(batch_size, dtype=np.int32)
+            ti = np.zeros(batch_size, dtype=np.int32)
+            qi[:B] = eff_q[chunk]
+            ti[:B] = eff_t[chunk]
+            res = _sw_gather_call(codes_all, jnp.asarray(qi),
+                                  jnp.asarray(ti), sub, blq, blt)
             for k in out:
                 out[k][chunk] = np.asarray(res[k])[:B]
     return out
@@ -143,36 +165,24 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
     profiles = kmer_profiles(universe.seqs, dim=profile_dim)
     cand_idx, _ = candidate_pairs(profiles, profiles, universe.offsets,
                                   top_per_genome=candidates_per_genome)
-    # flatten candidate list
-    nq, G, C = cand_idx.shape
-    qs, ts = [], []
-    for q in range(nq):
-        for g in range(G):
-            for c in range(C):
-                t = cand_idx[q, g, c]
-                if t >= 0:
-                    qs.append(q)
-                    ts.append(t)
-    pairs_q = np.array(qs, dtype=np.int64)
-    pairs_t = np.array(ts, dtype=np.int64)
+    # flatten candidate list (vectorized)
+    q_i, _, _ = np.nonzero(cand_idx >= 0)
+    pairs_q = q_i.astype(np.int64)
+    pairs_t = cand_idx[cand_idx >= 0].astype(np.int64)
     res = _bucketed_sw(universe, pairs_q, pairs_t, batch_size=batch_size)
 
-    # top-1 (or top-k) per (query, target genome) by raw score
+    # top-k per (query, target genome) by raw score (vectorized rank)
     raw = res["score"]
-    order = np.lexsort((-raw, universe.genome_of[pairs_t], pairs_q))
+    tg = universe.genome_of[pairs_t].astype(np.int64)
+    order = np.lexsort((-raw, tg, pairs_q))
+    key = pairs_q[order] * len(universe.genomes) + tg[order]
+    new_group = np.ones(len(order), dtype=bool)
+    new_group[1:] = key[1:] != key[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(new_group, np.arange(len(order)), 0))
+    rank = np.arange(len(order)) - group_start
+    keep = order[rank < hits_per_query]
     genome_res = universe.genome_residues()
-    keep: list[int] = []
-    last_key = None
-    rank = 0
-    for oi in order:
-        key = (int(pairs_q[oi]), int(universe.genome_of[pairs_t[oi]]))
-        if key != last_key:
-            last_key = key
-            rank = 0
-        if rank < hits_per_query:
-            keep.append(oi)
-            rank += 1
-    keep = np.array(keep, dtype=np.int64)
 
     kq, kt = pairs_q[keep], pairs_t[keep]
     kraw = raw[keep]

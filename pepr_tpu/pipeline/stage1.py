@@ -37,6 +37,8 @@ class Stage1Config:
     min_cluster_size: int = 2
     outgroup_count: int = 2
     outgroup_min_bits: float = 50.0  # analog of hmmsearch -E 1e-40
+    use_hmm: bool = True  # HMM set enhancement (the reference default)
+    hmm_min_bits: float = 100.0
     unique_species: bool = False
     unique_genus: bool = False
     seed: int = 12345
@@ -171,6 +173,17 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
         inflation=cfg.inflation, min_size=cfg.min_cluster_size)
     hg_sets = groups_to_sequence_sets(universe, clusters)
     timings["mcl"] = time.time() - t0
+
+    if cfg.use_hmm:
+        from pepr_tpu.models.hmm_enhancer import enhance_homolog_groups
+        t0 = time.time()
+        enh = enhance_homolog_groups(
+            hg_sets, genomes, outgroup_pool,
+            outgroup_count=cfg.outgroup_count if outgroup_pool else 0,
+            min_bits=cfg.hmm_min_bits)
+        timings["hmm_enhancement"] = time.time() - t0
+        return Stage1Result(universe, enh.enhanced_sets,
+                            enh.selected_outgroups, timings)
 
     selected_names: list[str] = []
     if outgroup_pool and cfg.outgroup_count > 0:
