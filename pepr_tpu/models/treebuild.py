@@ -300,3 +300,65 @@ def nj_tree(mat: np.ndarray, taxa: list[str],
     """Plain NJ tree (the reference's `-nj` fast path,
     PhylogenomicPipeline2.java:1279-1293)."""
     return nj_start_tree(mat, taxa, site_weights)
+
+
+def parsimony_tree(mat: np.ndarray, taxa: list[str], *,
+                   site_weights: np.ndarray | None = None,
+                   branch_lengths: bool = False,
+                   model: WagModel | None = None,
+                   nni_rounds: int = 8, bl_steps: int = 150,
+                   max_candidates: int = 64) -> tuple[Tree, float]:
+    """Parsimony topology search (the reference's `parsimony` method,
+    RAxMLRunner.java:134-140): NJ start + NNI hill climbing under the
+    Fitch kernel.  With `branch_lengths`, ML branch lengths are fitted
+    on the final topology (the `parsimony_bl` two-phase,
+    RAxMLRunner.java:215-280 — gradient opt instead of `-f e`).
+
+    Returns (tree, parsimony score).
+    """
+    import jax.numpy as jnp
+
+    from pepr_tpu.ops.parsimony import fitch_score_topologies
+
+    start = nj_start_tree(mat, taxa, site_weights)
+    arr = tree_to_arrays(start, taxa)
+    codes = np.asarray(mat, np.int8)
+    n_leaves = len(taxa)
+    L = codes.shape[1]
+    w = np.ones(L, np.float32) if site_weights is None else \
+        np.asarray(site_weights, np.float32)
+    codes_d = jnp.asarray(codes)
+    w_d = jnp.asarray(w)
+
+    children = arr.children.copy()
+    score = float(fitch_score_topologies(
+        codes_d, jnp.asarray(children[None]), w_d)[0])
+    for _ in range(nni_rounds):
+        cands = _nni_candidates(children, n_leaves)
+        if not cands:
+            break
+        cands = [_postorder_fix(c, n_leaves)
+                 for c in cands[:max_candidates]]
+        scores: list[float] = []
+        for c0 in range(0, len(cands), 16):
+            cb = cands[c0:c0 + 16]
+            n_real = len(cb)
+            while len(cb) < min(16, len(cands)):
+                cb = cb + [cb[-1]]
+            s = fitch_score_topologies(codes_d,
+                                       jnp.asarray(np.stack(cb)), w_d)
+            scores.extend(float(x) for x in np.asarray(s)[:n_real])
+        best = int(np.argmin(scores))
+        if scores[best] >= score:
+            break
+        score = scores[best]
+        children = cands[best]
+
+    arr = TreeArrays(children, arr.blen, arr.node_of_tree_node, taxa)
+    if branch_lengths:
+        if model is None:
+            model = WagModel.create()
+        blen, _ = optimize_branch_lengths(codes, arr, model,
+                                          site_weights=w, steps=bl_steps)
+        arr.blen[:] = blen
+    return arrays_to_tree(arr), score

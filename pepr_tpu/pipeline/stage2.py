@@ -117,6 +117,12 @@ def run_stage2(sets: list[SequenceSet],
     ll = None
     if cfg.full_tree_method == "nj":
         full = nj_tree(cat.mat, cat.taxa)
+    elif cfg.full_tree_method in ("parsimony", "parsimony_bl"):
+        from pepr_tpu.models.treebuild import parsimony_tree
+        full, _ = parsimony_tree(
+            cat.mat, cat.taxa, model=model,
+            branch_lengths=cfg.full_tree_method == "parsimony_bl",
+            nni_rounds=cfg.nni_rounds, bl_steps=cfg.bl_steps)
     else:
         fast = cfg.full_tree_method == "fast_ml"
         full, ll = ml_tree(
