@@ -31,7 +31,9 @@ class Stage2Config:
     target_sets: int | None = None  # cap on gene families (largest kept)
     representative_only: bool = False  # one member per taxon per set
     trim: bool = True
-    full_tree_method: str = "ml"  # ml | fast_ml | nj
+    congruence_filter: bool = False
+    congruence_drop: float = 0.1
+    full_tree_method: str = "ml"  # ml | fast_ml | nj | parsimony[_bl]
     support_method: str = "fast_ml"  # FastTree-equivalent
     support_reps: int = 100
     jackknife_fraction: float = 0.5
@@ -107,6 +109,13 @@ def run_stage2(sets: list[SequenceSet],
         if trimmed:
             alignments = trimmed
     timings["trim"] = time.time() - t0
+
+    if cfg.congruence_filter:
+        from pepr_tpu.models.congruence import filter_congruent
+        t0 = time.time()
+        alignments = filter_congruent(alignments,
+                                      drop_fraction=cfg.congruence_drop)
+        timings["congruence_filter"] = time.time() - t0
 
     t0 = time.time()
     cat = concatenate(alignments)
