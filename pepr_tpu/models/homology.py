@@ -136,6 +136,7 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
     for i in range(n_pairs):
         buckets.setdefault((int(blq_arr[i]), int(blt_arr[i])), []).append(i)
 
+    pending = []  # dispatch everything, then collect: JAX's async
     for (blq, blt), idxs in sorted(buckets.items()):
         for s0 in range(0, len(idxs), batch_size):
             chunk = idxs[s0:s0 + batch_size]
@@ -146,8 +147,12 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
             ti[:B] = eff_t[chunk]
             res = _sw_gather_call(codes_all, jnp.asarray(qi),
                                   jnp.asarray(ti), sub, blq, blt)
-            for k in out:
-                out[k][chunk] = np.asarray(res[k])[:B]
+            pending.append((chunk, B, res))
+    # dispatch queue keeps the device busy; collect afterwards so
+    # per-batch link latency overlaps with compute
+    for chunk, B, res in pending:
+        for k in out:
+            out[k][chunk] = np.asarray(res[k])[:B]
     return out
 
 

@@ -218,6 +218,7 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
     for k, (si, hi) in enumerate(pairs):
         key = (p2(len(seqs[si]), 128), p2(hmms[hi].length, 64))
         buckets.setdefault(key, []).append(k)
+    pending = []
     for (lpad, mpad), idxs in sorted(buckets.items()):
         for s0 in range(0, len(idxs), batch_size):
             chunk = idxs[s0:s0 + batch_size]
@@ -242,5 +243,7 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
                 jnp.asarray(fields["tmd"]), jnp.asarray(fields["tim"]),
                 jnp.asarray(fields["tii"]), jnp.asarray(fields["tdm"]),
                 jnp.asarray(fields["tdd"]), jnp.asarray(m_lens))
-            out[chunk] = np.asarray(res)[:B]
+            pending.append((chunk, B, res))
+    for chunk, B, res in pending:
+        out[chunk] = np.asarray(res)[:B]
     return out

@@ -152,7 +152,9 @@ def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
 
 def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
                cfg: Stage1Config | None = None) -> Stage1Result:
+    import logging
     import time
+    log = logging.getLogger("pepr_tpu")
     cfg = cfg or Stage1Config()
     timings: dict = {}
 
@@ -166,6 +168,8 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
         evalue_cutoff=cfg.evalue_cutoff, min_identity=cfg.min_identity,
         min_score=cfg.min_score)
     timings["homology_search"] = time.time() - t0
+    log.info("stage1: homology search done in %.1fs (%d hits)",
+             timings["homology_search"], len(hits.query))
 
     t0 = time.time()
     clusters = cluster_homolog_groups(
@@ -173,6 +177,8 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
         inflation=cfg.inflation, min_size=cfg.min_cluster_size)
     hg_sets = groups_to_sequence_sets(universe, clusters)
     timings["mcl"] = time.time() - t0
+    log.info("stage1: MCL done in %.1fs (%d groups)", timings["mcl"],
+             len(hg_sets))
 
     if cfg.use_hmm:
         from pepr_tpu.models.hmm_enhancer import enhance_homolog_groups
@@ -182,6 +188,8 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
             outgroup_count=cfg.outgroup_count if outgroup_pool else 0,
             min_bits=cfg.hmm_min_bits)
         timings["hmm_enhancement"] = time.time() - t0
+        log.info("stage1: HMM enhancement done in %.1fs (outgroups: %s)",
+                 timings["hmm_enhancement"], enh.selected_outgroups)
         return Stage1Result(universe, enh.enhanced_sets,
                             enh.selected_outgroups, timings)
 

@@ -84,7 +84,9 @@ def filter_sets(sets: list[SequenceSet], cfg: Stage2Config) -> list[SequenceSet]
 
 def run_stage2(sets: list[SequenceSet],
                cfg: Stage2Config | None = None) -> Stage2Result:
+    import logging
     import time
+    log = logging.getLogger("pepr_tpu")
     cfg = cfg or Stage2Config()
     rng = np.random.default_rng(cfg.seed)
     timings: dict = {}
@@ -96,6 +98,8 @@ def run_stage2(sets: list[SequenceSet],
 
     alignments = align_sequence_sets(kept)
     timings["align"] = time.time() - t0
+    log.info("stage2: aligned %d families in %.1fs", len(alignments),
+             timings["align"])
 
     t0 = time.time()
     if cfg.trim:
@@ -120,6 +124,8 @@ def run_stage2(sets: list[SequenceSet],
     t0 = time.time()
     cat = concatenate(alignments)
     timings["concat"] = time.time() - t0
+    log.info("stage2: concatenated %d genes, %d columns", cat.n_genes,
+             cat.length)
 
     model = WagModel.create(alpha=cfg.gamma_alpha)
     t0 = time.time()
@@ -140,12 +146,16 @@ def run_stage2(sets: list[SequenceSet],
             bl_steps=(60 if fast else cfg.bl_steps),
             bl_refine_steps=(30 if fast else max(cfg.bl_steps // 3, 40)))
     timings["full_tree"] = time.time() - t0
+    log.info("stage2: full tree (%s) in %.1fs", cfg.full_tree_method,
+             timings["full_tree"])
 
     t0 = time.time()
     reps = support_trees(cat, cfg.support_reps, rng, model=model,
                          method=cfg.support_method,
                          fraction=cfg.jackknife_fraction)
     timings["support_trees"] = time.time() - t0
+    log.info("stage2: %d support trees in %.1fs", len(reps),
+             timings["support_trees"])
 
     dec = decorated_tree(full, reps)
     return Stage2Result(dec, full, reps, cat, alignments, ll, timings)
