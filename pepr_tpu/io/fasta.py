@@ -121,6 +121,19 @@ class SequenceSet:
 
 
 def read_fasta(path: str, name: str | None = None) -> SequenceSet:
+    stem = os.path.basename(path)
+    for suffix in (".faa", ".fasta", ".fa"):
+        if stem.endswith(suffix):
+            stem = stem[: -len(suffix)]
+            break
+    try:  # native scanner (pepr_tpu/native/fastio.cpp) when available
+        from pepr_tpu.native import native_read_fasta
+        got = native_read_fasta(path)
+    except Exception:
+        got = None
+    if got is not None:
+        titles, seqs = got
+        return SequenceSet(name or stem, titles, seqs, source_path=path)
     titles: list[str] = []
     chunks: list[list[str]] = []
     with open(path, "r") as fh:
