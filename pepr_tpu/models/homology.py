@@ -136,8 +136,12 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
     for i in range(n_pairs):
         buckets.setdefault((int(blq_arr[i]), int(blt_arr[i])), []).append(i)
 
+    import logging
+    import time as _time
+    log = logging.getLogger("pepr_tpu")
     pending = []  # dispatch everything, then collect: JAX's async
     for (blq, blt), idxs in sorted(buckets.items()):
+        _t = _time.time()
         for s0 in range(0, len(idxs), batch_size):
             chunk = idxs[s0:s0 + batch_size]
             B = len(chunk)
@@ -148,6 +152,8 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
             res = _sw_gather_call(codes_all, jnp.asarray(qi),
                                   jnp.asarray(ti), sub, blq, blt)
             pending.append((chunk, B, res))
+        log.info("sw bucket (%d,%d): %d pairs dispatched in %.1fs",
+                 blq, blt, len(idxs), _time.time() - _t)
     # dispatch queue keeps the device busy; collect afterwards so
     # per-batch link latency overlaps with compute
     for chunk, B, res in pending:
@@ -166,15 +172,26 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
                       batch_size: int = 1024) -> tuple[ProteinUniverse, HitTable]:
     """Find, for every protein, its best hit in every genome (including
     its own), with blat-equivalent thresholds."""
+    import logging
+    import time as _time
+    log = logging.getLogger("pepr_tpu")
     universe = ProteinUniverse.build(genomes)
+    _t = _time.time()
     profiles = kmer_profiles(universe.seqs, dim=profile_dim)
+    log.info("homology: %d profiles in %.1fs", universe.n,
+             _time.time() - _t)
+    _t = _time.time()
     cand_idx, _ = candidate_pairs(profiles, profiles, universe.offsets,
                                   top_per_genome=candidates_per_genome)
+    log.info("homology: candidates in %.1fs", _time.time() - _t)
     # flatten candidate list (vectorized)
     q_i, _, _ = np.nonzero(cand_idx >= 0)
     pairs_q = q_i.astype(np.int64)
     pairs_t = cand_idx[cand_idx >= 0].astype(np.int64)
+    _t = _time.time()
     res = _bucketed_sw(universe, pairs_q, pairs_t, batch_size=batch_size)
+    log.info("homology: SW on %d pairs in %.1fs", len(pairs_q),
+             _time.time() - _t)
 
     # top-k per (query, target genome) by raw score (vectorized rank)
     raw = res["score"]
