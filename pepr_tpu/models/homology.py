@@ -94,7 +94,7 @@ def _sw_gather_call(codes_all: jax.Array, q_idx: jax.Array,
 
 
 def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
-                 pairs_t: np.ndarray, batch_size: int = 1024,
+                 pairs_t: np.ndarray, batch_size: int = 4096,
                  max_len: int = 4096) -> dict[str, np.ndarray]:
     """Run SW on an arbitrary pair list.
 
@@ -169,7 +169,7 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
                       min_score: float = 15.0,
                       candidates_per_genome: int = 3,
                       profile_dim: int = 1024,
-                      batch_size: int = 1024) -> tuple[ProteinUniverse, HitTable]:
+                      batch_size: int = 4096) -> tuple[ProteinUniverse, HitTable]:
     """Find, for every protein, its best hit in every genome (including
     its own), with blat-equivalent thresholds."""
     import logging

@@ -203,46 +203,66 @@ def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
     return total
 
 
+@functools.partial(jax.jit, static_argnames=("lpad", "mpad"))
+def _viterbi_gather_call(codes_all, lens_all, emit_all, tmm, tmi, tmd,
+                         tim, tii, tdm, tdd, m_lens_all, seq_idx,
+                         hmm_idx, lpad: int, mpad: int):
+    """Gather (sequence, profile) batches from device-resident packs —
+    only the two index vectors cross the host-device link per call."""
+    codes = codes_all[seq_idx, :lpad]
+    lens = jnp.minimum(lens_all[seq_idx], lpad)
+    emit = emit_all[hmm_idx, :mpad]
+    m_lens = jnp.minimum(m_lens_all[hmm_idx], mpad)
+    tr = [t[hmm_idx, : mpad + 1] for t in (tmm, tmi, tmd, tim, tii,
+                                           tdm, tdd)]
+    return viterbi_score_batch(codes, lens, emit, *tr, m_lens)
+
+
 def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
                         pairs: list[tuple[int, int]],
-                        batch_size: int = 256) -> np.ndarray:
+                        batch_size: int = 4096) -> np.ndarray:
     """Score (sequence index, hmm index) pairs; returns bits (P,)."""
     if not pairs:
         return np.zeros(0, np.float32)
     out = np.zeros(len(pairs), np.float32)
-    # bucket by (padded seq len, padded profile len)
+
     def p2(x, lo):
         return int(max(lo, 2 ** int(np.ceil(np.log2(max(x, 1))))))
 
+    # device-resident packs: all sequences, all profiles
+    lmax = p2(max(len(s) for s in seqs), 128)
+    codes_np = np.full((len(seqs), lmax), PAD, dtype=np.int8)
+    lens_np = np.zeros(len(seqs), np.int32)
+    for i, s in enumerate(seqs):
+        n = min(len(s), lmax)
+        codes_np[i, :n] = np.asarray(s[:n], np.int8)
+        lens_np[i] = n
+    mmax = p2(max(h.length for h in hmms), 64)
+    emit_np, fields_np, m_lens_np = pack_profiles(hmms, mmax)
+    codes_all = jax.device_put(codes_np)
+    lens_all = jax.device_put(lens_np)
+    emit_all = jax.device_put(emit_np)
+    trans_all = [jax.device_put(fields_np[k])
+                 for k in ("tmm", "tmi", "tmd", "tim", "tii", "tdm",
+                           "tdd")]
+    m_lens_all = jax.device_put(m_lens_np)
+
     buckets: dict[tuple[int, int], list[int]] = {}
     for k, (si, hi) in enumerate(pairs):
-        key = (p2(len(seqs[si]), 128), p2(hmms[hi].length, 64))
+        key = (p2(int(lens_np[si]), 128), p2(hmms[hi].length, 64))
         buckets.setdefault(key, []).append(k)
     pending = []
     for (lpad, mpad), idxs in sorted(buckets.items()):
         for s0 in range(0, len(idxs), batch_size):
             chunk = idxs[s0:s0 + batch_size]
             B = len(chunk)
-            bpad = int(2 ** np.ceil(np.log2(max(B, 1))))
-            codes = np.full((bpad, lpad), PAD, dtype=np.int8)
-            lens = np.zeros(bpad, np.int32)
-            sub_hmms = []
+            si = np.zeros(batch_size, np.int32)
+            hi = np.zeros(batch_size, np.int32)
             for bi, k in enumerate(chunk):
-                si, hi = pairs[k]
-                s = seqs[si][:lpad]
-                codes[bi, :len(s)] = s
-                lens[bi] = len(s)
-                sub_hmms.append(hmms[hi])
-            while len(sub_hmms) < bpad:
-                sub_hmms.append(sub_hmms[-1])
-                lens[len(sub_hmms) - 1] = 1
-            emit, fields, m_lens = pack_profiles(sub_hmms, mpad)
-            res = viterbi_score_batch(
-                jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(emit),
-                jnp.asarray(fields["tmm"]), jnp.asarray(fields["tmi"]),
-                jnp.asarray(fields["tmd"]), jnp.asarray(fields["tim"]),
-                jnp.asarray(fields["tii"]), jnp.asarray(fields["tdm"]),
-                jnp.asarray(fields["tdd"]), jnp.asarray(m_lens))
+                si[bi], hi[bi] = pairs[k]
+            res = _viterbi_gather_call(
+                codes_all, lens_all, emit_all, *trans_all, m_lens_all,
+                jnp.asarray(si), jnp.asarray(hi), lpad, mpad)
             pending.append((chunk, B, res))
     for chunk, B, res in pending:
         out[chunk] = np.asarray(res)[:B]
