@@ -44,8 +44,13 @@ def config_from_args(argv: list[str]) -> PeprConfig:
     if "target_ntax" in rp:
         cfg.target_sets = rp.get_int("target_ntax")
 
+    hsm = rp.get("homology_search_method")
+    if hsm and hsm.lower() not in ("blast", "blat", "false"):
+        cfg.stage1.homology_file = hsm
     cfg.stage1.inflation = rp.get_float("mcl_inflation",
                                         cfg.stage1.inflation)
+    cfg.stage1.inflation = rp.get_float("inflation", cfg.stage1.inflation)
+    cfg.stage1.use_hmm = rp.get_bool("hmm", cfg.stage1.use_hmm)
     cfg.stage1.bidirectional = rp.get_bool("bidirectional",
                                            cfg.stage1.bidirectional)
     cfg.stage1.unique_species = rp.get_bool("unique_species",

@@ -41,6 +41,7 @@ class Stage1Config:
     hmm_min_bits: float = 100.0
     unique_species: bool = False
     unique_genus: bool = False
+    homology_file: str | None = None  # precomputed blast8 results
     seed: int = 12345
 
 
@@ -163,10 +164,17 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
         genomes = filter_duplicate_species(genomes, cfg.unique_genus)
 
     t0 = time.time()
-    universe, hits = search_all_vs_all(
-        genomes, hits_per_query=cfg.hits_per_query,
-        evalue_cutoff=cfg.evalue_cutoff, min_identity=cfg.min_identity,
-        min_score=cfg.min_score)
+    if cfg.homology_file:
+        # precomputed results (-homology_search_method <file>,
+        # PhyloPipeline.java:340-356)
+        from pepr_tpu.io.hits import read_blast8
+        universe = ProteinUniverse.build(genomes)
+        hits = read_blast8(cfg.homology_file, universe)
+    else:
+        universe, hits = search_all_vs_all(
+            genomes, hits_per_query=cfg.hits_per_query,
+            evalue_cutoff=cfg.evalue_cutoff,
+            min_identity=cfg.min_identity, min_score=cfg.min_score)
     timings["homology_search"] = time.time() - t0
     log.info("stage1: homology search done in %.1fs (%d hits)",
              timings["homology_search"], len(hits.query))
