@@ -139,7 +139,14 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
     import logging
     import time as _time
     log = logging.getLogger("pepr_tpu")
-    pending = []  # dispatch everything, then collect: JAX's async
+    from pepr_tpu.utils.dispatch import BoundedDispatch
+    dq = BoundedDispatch(window=16)
+
+    def _consume(items):
+        for (chunk, B), res in items:
+            for k in out:
+                out[k][chunk] = res[k][:B]
+
     for (blq, blt), idxs in sorted(buckets.items()):
         _t = _time.time()
         for s0 in range(0, len(idxs), batch_size):
@@ -151,14 +158,10 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
             ti[:B] = eff_t[chunk]
             res = _sw_gather_call(codes_all, jnp.asarray(qi),
                                   jnp.asarray(ti), sub, blq, blt)
-            pending.append((chunk, B, res))
-        log.info("sw bucket (%d,%d): %d pairs dispatched in %.1fs",
+            _consume(dq.submit((chunk, B), res))
+        log.info("sw bucket (%d,%d): %d pairs in %.1fs",
                  blq, blt, len(idxs), _time.time() - _t)
-    # dispatch queue keeps the device busy; collect afterwards so
-    # per-batch link latency overlaps with compute
-    for chunk, B, res in pending:
-        for k in out:
-            out[k][chunk] = np.asarray(res[k])[:B]
+    _consume(dq.drain())
     return out
 
 

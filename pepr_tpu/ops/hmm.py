@@ -251,7 +251,13 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
     for k, (si, hi) in enumerate(pairs):
         key = (p2(int(lens_np[si]), 128), p2(hmms[hi].length, 64))
         buckets.setdefault(key, []).append(k)
-    pending = []
+    from pepr_tpu.utils.dispatch import BoundedDispatch
+    dq = BoundedDispatch(window=16)
+
+    def _consume(items):
+        for (chunk, B), res in items:
+            out[chunk] = res[:B]
+
     for (lpad, mpad), idxs in sorted(buckets.items()):
         for s0 in range(0, len(idxs), batch_size):
             chunk = idxs[s0:s0 + batch_size]
@@ -263,7 +269,6 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
             res = _viterbi_gather_call(
                 codes_all, lens_all, emit_all, *trans_all, m_lens_all,
                 jnp.asarray(si), jnp.asarray(hi), lpad, mpad)
-            pending.append((chunk, B, res))
-    for chunk, B, res in pending:
-        out[chunk] = np.asarray(res)[:B]
+            _consume(dq.submit((chunk, B), res))
+    _consume(dq.drain())
     return out
