@@ -26,38 +26,75 @@ from pepr_tpu.tree import decorate_supports
 from pepr_tpu.tree.basic import Tree
 
 
-def jackknife_gene_masks(cat: ConcatenatedAlignment, reps: int, rng,
-                         fraction: float = 0.5) -> np.ndarray:
-    """(reps, L) float32 site-weight masks, each covering a random
+def jackknife_mask(cat: ConcatenatedAlignment, rep_idx: int, seed: int,
+                   fraction: float = 0.5) -> np.ndarray:
+    """(L,) float32 site-weight mask for one replicate: a random
     `fraction` of gene families sampled without replacement
-    (PhylogenomicPipeline2.java:959-977: geneCount/2 genes)."""
+    (PhylogenomicPipeline2.java:959-977: geneCount/2 genes).  Seeded
+    per (seed, rep) so replicates are independent AND individually
+    reproducible — resuming a checkpointed run regenerates identical
+    masks."""
+    rng = np.random.default_rng([seed, rep_idx])
     G = cat.n_genes
     k = max(int(G * fraction), 1)
-    masks = np.zeros((reps, cat.length), dtype=np.float32)
-    for r in range(reps):
-        genes = rng.choice(G, size=k, replace=False)
-        masks[r] = cat.gene_column_mask(genes).astype(np.float32)
-    return masks
+    genes = rng.choice(G, size=k, replace=False)
+    return cat.gene_column_mask(genes).astype(np.float32)
 
 
-def support_trees(cat: ConcatenatedAlignment, reps: int, rng, *,
-                  model: WagModel | None = None, method: str = "fast_ml",
-                  fraction: float = 0.5, nni_rounds: int = 2,
-                  bl_steps: int = 60) -> list[Tree]:
-    """Build `reps` jackknife support trees (the FastTree fan-out of the
-    reference, GeneSubsetTreeRunnable:1546-1633)."""
+def jackknife_gene_masks(cat: ConcatenatedAlignment, reps: int, seed: int,
+                         fraction: float = 0.5) -> np.ndarray:
+    return np.stack([jackknife_mask(cat, r, seed, fraction)
+                     for r in range(reps)])
+
+
+def support_tree_single(cat: ConcatenatedAlignment, rep_idx: int,
+                        seed: int, *, model: WagModel | None = None,
+                        method: str = "fast_ml", fraction: float = 0.5,
+                        nni_rounds: int = 2, bl_steps: int = 60) -> Tree:
+    """One jackknife support tree (a single unit of the reference's
+    GeneSubsetTreeRunnable fan-out, PhylogenomicPipeline2.java:
+    1546-1633)."""
     if model is None:
         model = WagModel.create()
-    masks = jackknife_gene_masks(cat, reps, rng, fraction)
+    w = jackknife_mask(cat, rep_idx, seed, fraction)
+    if method == "nj":
+        return nj_tree(cat.mat, cat.taxa, site_weights=w)
+    tree, _ = ml_tree(cat.mat, cat.taxa, model, site_weights=w,
+                      nni_rounds=nni_rounds, bl_steps=bl_steps,
+                      bl_refine_steps=max(bl_steps // 2, 20))
+    return tree
+
+
+def support_trees(cat: ConcatenatedAlignment, reps: int, seed, *,
+                  model: WagModel | None = None, method: str = "fast_ml",
+                  fraction: float = 0.5, nni_rounds: int = 2,
+                  bl_steps: int = 60, store=None, deadline=None,
+                  on_progress=None) -> list[Tree]:
+    """Build `reps` jackknife support trees, optionally checkpointing
+    each replicate and stopping at a deadline (resumable)."""
+    from pepr_tpu.tree import parse_newick, to_newick
+
+    if isinstance(seed, np.random.Generator):  # legacy call style
+        seed = int(seed.integers(1 << 31))
+    if model is None:
+        model = WagModel.create()
     out: list[Tree] = []
     for r in range(reps):
-        w = masks[r]
-        if method == "nj":
-            out.append(nj_tree(cat.mat, cat.taxa, site_weights=w))
+        key = f"support_{r:04d}"
+        if store is not None and store.has(key):
+            out.append(parse_newick(store.load(key)))
             continue
-        tree, _ = ml_tree(cat.mat, cat.taxa, model, site_weights=w,
-                          nni_rounds=nni_rounds, bl_steps=bl_steps,
-                          bl_refine_steps=max(bl_steps // 2, 20))
+        if deadline is not None and deadline.expired:
+            from pepr_tpu.pipeline.checkpoint import Incomplete
+            raise Incomplete(f"support tree {r}/{reps}")
+        tree = support_tree_single(cat, r, seed, model=model,
+                                   method=method, fraction=fraction,
+                                   nni_rounds=nni_rounds,
+                                   bl_steps=bl_steps)
+        if store is not None:
+            store.save(key, to_newick(tree))
+        if on_progress is not None:
+            on_progress(r)
         out.append(tree)
     return out
 

@@ -33,6 +33,10 @@ def config_from_args(argv: list[str]) -> PeprConfig:
     cfg.outgroup_files = expand_paths(rp.values("outgroup"))
     cfg.outgroup_count = rp.get_int("outgroup_count", cfg.outgroup_count)
     cfg.out_dir = rp.get("out_dir", cfg.out_dir)
+    if "checkpoint" in rp:
+        cfg.checkpoint_dir = rp.get("checkpoint")
+    if "time_budget" in rp:
+        cfg.time_budget = rp.get_float("time_budget")
     cfg.refine = rp.get_bool("refine", cfg.refine)
     cfg.refine_cutoff = rp.get_float("refine_cutoff", cfg.refine_cutoff)
     if "min_taxa" in rp:

@@ -36,6 +36,8 @@ class PeprConfig:
     refine_cutoff: float = 100.0
     max_refine_rounds: int = 10
     subtree: bool = False  # set for refinement sub-runs
+    checkpoint_dir: str | None = None  # enables resume; default under out_dir
+    time_budget: float | None = None  # soft seconds budget (resumable)
     min_taxa_multiplier: float = 0.8
     min_taxa: int | None = None
     max_taxa: int | None = None
@@ -78,8 +80,15 @@ def run_pepr(cfg: PeprConfig,
              genomes: list[SequenceSet] | None = None,
              outgroup_pool: list[SequenceSet] | None = None,
              write_files: bool = True) -> PeprResult:
+    from pepr_tpu.pipeline.checkpoint import CheckpointStore, Deadline
+
     tracker = RunTracker(cfg.run_name)
     rec = tracker.new_round("round_1" if not cfg.subtree else "subtree")
+
+    store = None
+    if cfg.checkpoint_dir is not None:
+        store = CheckpointStore(cfg.checkpoint_dir)
+    deadline = Deadline(cfg.time_budget)
 
     if genomes is None:
         genomes = _load_genomes(cfg.genome_files)
@@ -87,7 +96,24 @@ def run_pepr(cfg: PeprConfig,
         outgroup_pool = _load_genomes(cfg.outgroup_files)
 
     s1cfg = replace(cfg.stage1, outgroup_count=cfg.outgroup_count)
-    s1 = run_stage1(genomes, outgroup_pool, s1cfg)
+
+    def _stage1():
+        s1 = run_stage1(genomes, outgroup_pool, s1cfg)
+        return s1.hg_sets, s1.selected_outgroups, s1.timings
+
+    if store is not None:
+        hg_sets, selected_outgroups, s1_timings = \
+            store.cached("stage1", _stage1)
+    else:
+        hg_sets, selected_outgroups, s1_timings = _stage1()
+
+    class _S1:
+        pass
+
+    s1 = _S1()
+    s1.hg_sets = hg_sets
+    s1.selected_outgroups = selected_outgroups
+    s1.timings = s1_timings
     rec["wall_seconds"].update(s1.timings)
     rec["outgroups"] = s1.selected_outgroups
 
@@ -99,7 +125,7 @@ def run_pepr(cfg: PeprConfig,
         cfg.stage2, min_taxa=min_taxa,
         max_taxa=max_taxa + len(s1.selected_outgroups),
         target_sets=cfg.target_sets)
-    s2 = run_stage2(s1.hg_sets, s2cfg)
+    s2 = run_stage2(s1.hg_sets, s2cfg, store=store, deadline=deadline)
     rec["wall_seconds"].update(s2.timings)
     rec["taxa"] = s2.concat.taxa
     rec["genes"] = s2.concat.n_genes
@@ -123,11 +149,18 @@ def run_pepr(cfg: PeprConfig,
             sub_out = [taxon_to_genome[compress_name(t)]
                        for t in outgroup_taxa
                        if compress_name(t) in taxon_to_genome]
+            sub_ckpt = None
+            if store is not None:
+                sub_ckpt = os.path.join(store.root, f"sub{round_idx}")
+            budget = None
+            if deadline.t_end is not None:
+                budget = deadline.remaining()
             sub_cfg = replace(
                 cfg, run_name=f"{cfg.run_name}_refine_sub{round_idx}",
                 refine=False, subtree=True,
                 outgroup_count=min(len(sub_out), 2),
-                min_taxa=None, max_taxa=None)
+                min_taxa=None, max_taxa=None,
+                checkpoint_dir=sub_ckpt, time_budget=budget)
             res = run_pepr(sub_cfg, genomes=sub_in,
                            outgroup_pool=sub_out, write_files=False)
             srec = tracker.new_round(f"refine_{round_idx}")

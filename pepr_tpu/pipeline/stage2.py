@@ -83,12 +83,14 @@ def filter_sets(sets: list[SequenceSet], cfg: Stage2Config) -> list[SequenceSet]
 
 
 def run_stage2(sets: list[SequenceSet],
-               cfg: Stage2Config | None = None) -> Stage2Result:
+               cfg: Stage2Config | None = None, store=None,
+               deadline=None) -> Stage2Result:
     import logging
     import time
+
+    from pepr_tpu.pipeline.checkpoint import Incomplete
     log = logging.getLogger("pepr_tpu")
     cfg = cfg or Stage2Config()
-    rng = np.random.default_rng(cfg.seed)
     timings: dict = {}
 
     t0 = time.time()
@@ -96,23 +98,29 @@ def run_stage2(sets: list[SequenceSet],
     if not kept:
         raise ValueError("no homolog groups survive the taxa filters")
 
-    alignments = align_sequence_sets(kept)
+    def _align_and_trim():
+        alignments = align_sequence_sets(kept)
+        if cfg.trim:
+            trimmed = []
+            for a in alignments:
+                mask = gblocks_mask(a.mat)
+                if mask.sum() == 0:
+                    continue
+                trimmed.append(Alignment(a.name, a.taxa, a.mat[:, mask],
+                                         titles=a.titles))
+            if trimmed:
+                alignments = trimmed
+        return alignments
+
+    if store is not None:
+        alignments = store.cached("alignments", _align_and_trim)
+    else:
+        alignments = _align_and_trim()
     timings["align"] = time.time() - t0
     log.info("stage2: aligned %d families in %.1fs", len(alignments),
              timings["align"])
-
-    t0 = time.time()
-    if cfg.trim:
-        trimmed = []
-        for a in alignments:
-            mask = gblocks_mask(a.mat)
-            if mask.sum() == 0:
-                continue
-            trimmed.append(Alignment(a.name, a.taxa, a.mat[:, mask],
-                                     titles=a.titles))
-        if trimmed:
-            alignments = trimmed
-    timings["trim"] = time.time() - t0
+    if deadline is not None and deadline.expired:
+        raise Incomplete("alignment")
 
     if cfg.congruence_filter:
         from pepr_tpu.models.congruence import filter_congruent
@@ -129,30 +137,45 @@ def run_stage2(sets: list[SequenceSet],
 
     model = WagModel.create(alpha=cfg.gamma_alpha)
     t0 = time.time()
-    ll = None
-    if cfg.full_tree_method == "nj":
-        full = nj_tree(cat.mat, cat.taxa)
-    elif cfg.full_tree_method in ("parsimony", "parsimony_bl"):
-        from pepr_tpu.models.treebuild import parsimony_tree
-        full, _ = parsimony_tree(
-            cat.mat, cat.taxa, model=model,
-            branch_lengths=cfg.full_tree_method == "parsimony_bl",
-            nni_rounds=cfg.nni_rounds, bl_steps=cfg.bl_steps)
-    else:
+
+    def _full_tree():
+        from pepr_tpu.tree import to_newick
+        if cfg.full_tree_method == "nj":
+            return to_newick(nj_tree(cat.mat, cat.taxa)), None
+        if cfg.full_tree_method in ("parsimony", "parsimony_bl"):
+            from pepr_tpu.models.treebuild import parsimony_tree
+            t, _ = parsimony_tree(
+                cat.mat, cat.taxa, model=model,
+                branch_lengths=cfg.full_tree_method == "parsimony_bl",
+                nni_rounds=cfg.nni_rounds, bl_steps=cfg.bl_steps)
+            return to_newick(t), None
         fast = cfg.full_tree_method == "fast_ml"
-        full, ll = ml_tree(
+        t, ll = ml_tree(
             cat.mat, cat.taxa, model,
             nni_rounds=(2 if fast else cfg.nni_rounds),
             bl_steps=(60 if fast else cfg.bl_steps),
             bl_refine_steps=(30 if fast else max(cfg.bl_steps // 3, 40)))
+        return to_newick(t), ll
+
+    from pepr_tpu.tree import parse_newick
+    if store is not None:
+        full_nwk, ll = store.cached("full_tree", _full_tree)
+    else:
+        full_nwk, ll = _full_tree()
+    full = parse_newick(full_nwk)
     timings["full_tree"] = time.time() - t0
     log.info("stage2: full tree (%s) in %.1fs", cfg.full_tree_method,
              timings["full_tree"])
+    if deadline is not None and deadline.expired:
+        from pepr_tpu.pipeline.checkpoint import Incomplete
+        raise Incomplete("full tree")
 
     t0 = time.time()
-    reps = support_trees(cat, cfg.support_reps, rng, model=model,
-                         method=cfg.support_method,
-                         fraction=cfg.jackknife_fraction)
+    reps = support_trees(
+        cat, cfg.support_reps, cfg.seed, model=model,
+        method=cfg.support_method, fraction=cfg.jackknife_fraction,
+        store=store, deadline=deadline,
+        on_progress=lambda r: log.info("stage2: support tree %d done", r))
     timings["support_trees"] = time.time() - t0
     log.info("stage2: %d support trees in %.1fs", len(reps),
              timings["support_trees"])
