@@ -56,11 +56,27 @@ def enhance_homolog_groups(hg_sets: list[SequenceSet],
                            outgroup_count: int = 2,
                            min_bits: float = 100.0,
                            candidates_per_block: int = 6,
-                           prefilter_min_sim: float = 0.1) -> EnhancerResult:
+                           prefilter_min_sim: float = 0.1,
+                           store=None, deadline=None) -> EnhancerResult:
+    import logging
+    log = logging.getLogger("pepr_tpu")
+
+    def check(stage):
+        if deadline is not None and deadline.expired:
+            from pepr_tpu.pipeline.checkpoint import Incomplete
+            raise Incomplete(stage)
+
     if not hg_sets:
         return EnhancerResult([], [])
     # 1. align groups, build profiles + consensus keys
-    mats = align_families([s.seqs for s in hg_sets])
+    if store is not None:
+        mats = store.cached("hmm_group_alignments",
+                            lambda: align_families(
+                                [s.seqs for s in hg_sets]))
+    else:
+        mats = align_families([s.seqs for s in hg_sets])
+    log.info("enhancer: %d group alignments ready", len(mats))
+    check("group alignment")
     hmms: list[ProfileHMM] = []
     consensi: list[np.ndarray] = []
     for s, m in zip(hg_sets, mats):
@@ -82,24 +98,31 @@ def enhance_homolog_groups(hg_sets: list[SequenceSet],
     genome_of = np.array(genome_of, dtype=np.int64)
 
     # 3. prefilter: consensus k-mer profiles in blocks
-    prof_prot = kmer_profiles(seqs)
-    prof_cons = kmer_profiles(consensi)
-    block = 2048
-    offsets = np.arange(0, len(consensi) + block, block, dtype=np.int64)
-    offsets[-1] = min(int(offsets[-1]), len(consensi))
-    offsets = np.unique(offsets)
-    cand, _ = candidate_pairs(prof_prot, prof_cons, offsets,
-                              top_per_genome=candidates_per_block,
-                              min_sim=prefilter_min_sim)
-    flat = cand.reshape(len(seqs), -1)
-    pairs: list[tuple[int, int]] = []
-    for p in range(flat.shape[0]):
-        for h in flat[p]:
-            if h >= 0:
-                pairs.append((p, int(h)))
+    def _pairs_and_bits():
+        prof_prot = kmer_profiles(seqs)
+        prof_cons = kmer_profiles(consensi)
+        block = 2048
+        offsets = np.arange(0, len(consensi) + block, block,
+                            dtype=np.int64)
+        offsets[-1] = min(int(offsets[-1]), len(consensi))
+        offsets = np.unique(offsets)
+        cand, _ = candidate_pairs(prof_prot, prof_cons, offsets,
+                                  top_per_genome=candidates_per_block,
+                                  min_sim=prefilter_min_sim)
+        p_i, _, _ = np.nonzero(cand >= 0)
+        h_i = cand[cand >= 0]
+        pairs = list(zip(p_i.tolist(), h_i.tolist()))
+        log.info("enhancer: scoring %d (protein, profile) pairs",
+                 len(pairs))
+        # 4. exact profile scores
+        bits = profile_score_pairs(seqs, hmms, pairs)
+        return pairs, bits
 
-    # 4. exact profile scores
-    bits = profile_score_pairs(seqs, hmms, pairs)
+    if store is not None:
+        pairs, bits = store.cached("hmm_scores", _pairs_and_bits)
+    else:
+        pairs, bits = _pairs_and_bits()
+    check("profile scoring")
 
     # best hit per (genome, hg) and per (protein, hg)
     best_gh: dict[tuple[int, int], tuple[float, int]] = {}

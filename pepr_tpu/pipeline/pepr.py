@@ -98,7 +98,8 @@ def run_pepr(cfg: PeprConfig,
     s1cfg = replace(cfg.stage1, outgroup_count=cfg.outgroup_count)
 
     def _stage1():
-        s1 = run_stage1(genomes, outgroup_pool, s1cfg)
+        s1 = run_stage1(genomes, outgroup_pool, s1cfg, store=store,
+                        deadline=deadline)
         return s1.hg_sets, s1.selected_outgroups, s1.timings
 
     if store is not None:

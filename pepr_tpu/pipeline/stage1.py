@@ -152,41 +152,59 @@ def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
 
 
 def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
-               cfg: Stage1Config | None = None) -> Stage1Result:
+               cfg: Stage1Config | None = None, store=None,
+               deadline=None) -> Stage1Result:
     import logging
     import time
+
+    from pepr_tpu.pipeline.checkpoint import Incomplete
     log = logging.getLogger("pepr_tpu")
     cfg = cfg or Stage1Config()
     timings: dict = {}
+
+    def check(stage: str):
+        if deadline is not None and deadline.expired:
+            raise Incomplete(stage)
 
     genomes = ingroup
     if cfg.unique_species or cfg.unique_genus:
         genomes = filter_duplicate_species(genomes, cfg.unique_genus)
 
     t0 = time.time()
-    if cfg.homology_file:
-        # precomputed results (-homology_search_method <file>,
-        # PhyloPipeline.java:340-356)
-        from pepr_tpu.io.hits import read_blast8
-        universe = ProteinUniverse.build(genomes)
-        hits = read_blast8(cfg.homology_file, universe)
-    else:
-        universe, hits = search_all_vs_all(
+    universe = ProteinUniverse.build(genomes)
+
+    def _hits():
+        if cfg.homology_file:
+            # precomputed results (-homology_search_method <file>,
+            # PhyloPipeline.java:340-356)
+            from pepr_tpu.io.hits import read_blast8
+            return read_blast8(cfg.homology_file, universe)
+        _, hits = search_all_vs_all(
             genomes, hits_per_query=cfg.hits_per_query,
             evalue_cutoff=cfg.evalue_cutoff,
             min_identity=cfg.min_identity, min_score=cfg.min_score)
+        return hits
+
+    hits = store.cached("s1_hits", _hits) if store is not None else _hits()
     timings["homology_search"] = time.time() - t0
     log.info("stage1: homology search done in %.1fs (%d hits)",
              timings["homology_search"], len(hits.query))
+    check("homology search")
 
     t0 = time.time()
-    clusters = cluster_homolog_groups(
-        universe, hits, bidirectional=cfg.bidirectional,
-        inflation=cfg.inflation, min_size=cfg.min_cluster_size)
+
+    def _clusters():
+        return cluster_homolog_groups(
+            universe, hits, bidirectional=cfg.bidirectional,
+            inflation=cfg.inflation, min_size=cfg.min_cluster_size)
+
+    clusters = store.cached("s1_clusters", _clusters) \
+        if store is not None else _clusters()
     hg_sets = groups_to_sequence_sets(universe, clusters)
     timings["mcl"] = time.time() - t0
     log.info("stage1: MCL done in %.1fs (%d groups)", timings["mcl"],
              len(hg_sets))
+    check("mcl")
 
     if cfg.use_hmm:
         from pepr_tpu.models.hmm_enhancer import enhance_homolog_groups
@@ -194,7 +212,7 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
         enh = enhance_homolog_groups(
             hg_sets, genomes, outgroup_pool,
             outgroup_count=cfg.outgroup_count if outgroup_pool else 0,
-            min_bits=cfg.hmm_min_bits)
+            min_bits=cfg.hmm_min_bits, store=store, deadline=deadline)
         timings["hmm_enhancement"] = time.time() - t0
         log.info("stage1: HMM enhancement done in %.1fs (outgroups: %s)",
                  timings["hmm_enhancement"], enh.selected_outgroups)
