@@ -21,15 +21,15 @@ import time
 
 import numpy as np
 
-# Round-1 measured value on one TPU v5 lite chip (17.7M site-evals/s);
-# future rounds are compared against this.  Known headroom: the scan is
-# HBM-bound on the (n_nodes, C, L, 20) partials buffer — a Pallas
-# site-tiled kernel keeping all node partials in VMEM is the
-# speed-of-light design.
-SELF_BASELINE_SITE_EVALS = 17.7e6
+# Round-1 measured value on one TPU v5 lite chip (honest fence: the
+# tunneled backend's block_until_ready is a no-op, so timings force
+# materialization; ~30ms of that is link round-trip latency).  Known
+# headroom: a Pallas site-tiled kernel keeping all node partials in
+# VMEM, and amortizing the link RTT over bigger fused evaluations.
+SELF_BASELINE_SITE_EVALS = 3.39e6
 
 
-def bench_likelihood(n_taxa=16, L=32768, iters=10):
+def bench_likelihood(n_taxa=16, L=131072, iters=8):
     import jax
     import jax.numpy as jnp
     from pepr_tpu.models.treebuild import nj_start_tree
@@ -56,11 +56,12 @@ def bench_likelihood(n_taxa=16, L=32768, iters=10):
             jnp.asarray(model.u), jnp.asarray(model.u_inv),
             jnp.asarray(model.pi), jnp.asarray(model.rates))
     f = jax.jit(lambda *a: loglik_sites(*a).sum())
-    f(*args).block_until_ready()  # compile
+    # NOTE: on the remote (tunneled) backend block_until_ready is not
+    # a reliable fence; force materialization to time honestly.
+    np.asarray(f(*args))  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
-    out.block_until_ready()
+        out = np.asarray(f(*args))
     dt = (time.perf_counter() - t0) / iters
     return L / dt, dt
 
@@ -74,12 +75,10 @@ def bench_smith_waterman(batch=512, L=256, iters=5):
     t = rng.integers(0, 20, size=(batch, L)).astype(np.int8)
     sub = jnp.asarray(kernel_matrix())
     qd, td = jnp.asarray(q), jnp.asarray(t)
-    out = sw_align_batch(qd, td, sub)
-    out["score"].block_until_ready()
+    np.asarray(sw_align_batch(qd, td, sub)["score"])  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = sw_align_batch(qd, td, sub)
-    out["score"].block_until_ready()
+        out = np.asarray(sw_align_batch(qd, td, sub)["score"])
     dt = (time.perf_counter() - t0) / iters
     cups = batch * L * L / dt
     return cups, dt

@@ -166,11 +166,16 @@ def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
     k_idx = jnp.arange(M)[None, :]
     k_valid = k_idx < m_lens[:, None]
 
+    code_iota = jnp.arange(emit.shape[2], dtype=jnp.int32)
+
     def step(carry, x):
         codes, pos = x  # (B,), scalar
         vm, vi, vd, total = carry
-        e = jnp.take_along_axis(
-            emit, codes[:, None, None].astype(jnp.int32), axis=2)[..., 0]
+        # emission row via one-hot contraction (per-step gathers
+        # serialize on TPU)
+        onehot = (codes[:, None, None].astype(jnp.int32) ==
+                  code_iota[None, None, :]).astype(emit.dtype)
+        e = jnp.sum(emit * onehot, axis=2)
         e = jnp.where((codes >= N_AA)[:, None], 0.0, e)
 
         def shift(v):

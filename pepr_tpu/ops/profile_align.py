@@ -134,10 +134,11 @@ def nw_profile_batch(p1: jax.Array, p2: jax.Array, l1: jax.Array,
         e = jnp.where(valid, e, NEG)
         f = jnp.where(valid, f, NEG)
 
-        # capture the score when this diagonal crosses cell (l1, l2)
+        # capture the score when this diagonal crosses cell (l1, l2);
+        # one-hot selection (per-step gathers serialize on TPU)
         at_target = k == (l1b + l2b)
-        tgt = jnp.take_along_axis(h, l1b[:, None].astype(jnp.int32),
-                                  axis=1)[:, 0]
+        tmask = rows[None, :] == l1b[:, None]
+        tgt = jnp.sum(jnp.where(tmask, h, 0.0), axis=1)
         score = jnp.where(at_target, tgt, score)
 
         return (h, h1, e, f, score), ptr

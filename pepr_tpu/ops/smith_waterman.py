@@ -69,14 +69,21 @@ def sw_align_batch(q: jax.Array, t: jax.Array, sub: jax.Array,
     zeros_f = jnp.zeros((B, Lq), jnp.float32)
     zeros_i = jnp.zeros((B, Lq), jnp.int32)
 
+    n_codes = sub.shape[0]
+    code_iota = jnp.arange(n_codes, dtype=jnp.int32)
+
     def step(carry, k):
         (h1, h2, e1, f1, mh1, mh2, me1, mf1, lh1, lh2, le1, lf1,
          best, bm, bl, bi) = carry
         # target codes along diagonal k (ascending in query index i)
         start = Lt - 1 - k + (Lq - 1)
         td = jax.lax.dynamic_slice(t_rp, (0, start), (B, Lq))
-        s = jnp.take_along_axis(sub_q, td[..., None].astype(jnp.int32),
-                                axis=2)[..., 0]
+        # substitution scores via one-hot contraction (a per-step
+        # gather serializes badly on TPU; compare+select runs on the
+        # VPU at full width)
+        onehot = (td[..., None].astype(jnp.int32) ==
+                  code_iota[None, None, :]).astype(sub_q.dtype)
+        s = jnp.sum(sub_q * onehot, axis=2)
 
         # shift "i-1" quantities down by one row (prepend edge state 0)
         def sh(x, fill):
@@ -117,14 +124,18 @@ def sw_align_batch(q: jax.Array, t: jax.Array, sub: jax.Array,
         mh = jnp.where(h <= 0.0, 0, mh)
         lh = jnp.where(h <= 0.0, 0, lh)
 
-        # running best (per item, argmax over cells of this diagonal)
+        # running best (per item, argmax over cells of this diagonal);
+        # selection via one-hot row masks (per-step gathers serialize)
         row_best = jnp.max(h, axis=1)
         row_arg = jnp.argmax(h, axis=1).astype(jnp.int32)
         improved = row_best > best
-        bsel = jnp.take_along_axis
+        rowmask = jnp.arange(Lq, dtype=jnp.int32)[None, :] == \
+            row_arg[:, None]
+        sel_m = jnp.sum(jnp.where(rowmask, mh, 0), axis=1)
+        sel_l = jnp.sum(jnp.where(rowmask, lh, 0), axis=1)
         best = jnp.where(improved, row_best, best)
-        bm = jnp.where(improved, bsel(mh, row_arg[:, None], 1)[:, 0], bm)
-        bl = jnp.where(improved, bsel(lh, row_arg[:, None], 1)[:, 0], bl)
+        bm = jnp.where(improved, sel_m, bm)
+        bl = jnp.where(improved, sel_l, bl)
         bi = jnp.where(improved, row_arg + (k << 16), bi)
 
         carry = (h, h1, e, f, mh, mh1, me, mf, lh, lh1, le, lf,
