@@ -170,7 +170,8 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
                       evalue_cutoff: float = 0.1,
                       min_identity: float = 10.0,
                       min_score: float = 15.0,
-                      candidates_per_genome: int = 3,
+                      candidates_per_genome: int = 2,
+                      prefilter_min_sim: float = 0.1,
                       profile_dim: int = 1024,
                       batch_size: int = 4096) -> tuple[ProteinUniverse, HitTable]:
     """Find, for every protein, its best hit in every genome (including
@@ -185,7 +186,8 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
              _time.time() - _t)
     _t = _time.time()
     cand_idx, _ = candidate_pairs(profiles, profiles, universe.offsets,
-                                  top_per_genome=candidates_per_genome)
+                                  top_per_genome=candidates_per_genome,
+                                  min_sim=prefilter_min_sim)
     log.info("homology: candidates in %.1fs", _time.time() - _t)
     # flatten candidate list (vectorized)
     q_i, _, _ = np.nonzero(cand_idx >= 0)
