@@ -47,16 +47,31 @@ def jackknife_gene_masks(cat: ConcatenatedAlignment, reps: int, seed: int,
                      for r in range(reps)])
 
 
+def bootstrap_weights(length: int, rep_idx: int, seed: int) -> np.ndarray:
+    """(L,) float32 multinomial column-resampling weights — the
+    classic bootstrap (SequenceAlignment.java:994-1027 resamples
+    columns with replacement; as site weights the resample is a pure
+    reweighting of the same computation)."""
+    rng = np.random.default_rng([seed, rep_idx, 7])
+    counts = rng.multinomial(length, np.full(length, 1.0 / length))
+    return counts.astype(np.float32)
+
+
 def support_tree_single(cat: ConcatenatedAlignment, rep_idx: int,
                         seed: int, *, model: WagModel | None = None,
                         method: str = "fast_ml", fraction: float = 0.5,
-                        nni_rounds: int = 2, bl_steps: int = 60) -> Tree:
-    """One jackknife support tree (a single unit of the reference's
+                        nni_rounds: int = 2, bl_steps: int = 60,
+                        resample: str = "jackknife_genes") -> Tree:
+    """One support-tree replicate (a single unit of the reference's
     GeneSubsetTreeRunnable fan-out, PhylogenomicPipeline2.java:
-    1546-1633)."""
+    1546-1633).  `resample` picks gene-wise jackknife (the pipeline
+    default) or classic site bootstrap."""
     if model is None:
         model = WagModel.create()
-    w = jackknife_mask(cat, rep_idx, seed, fraction)
+    if resample == "bootstrap_sites":
+        w = bootstrap_weights(cat.length, rep_idx, seed)
+    else:
+        w = jackknife_mask(cat, rep_idx, seed, fraction)
     if method == "nj":
         return nj_tree(cat.mat, cat.taxa, site_weights=w)
     tree, _ = ml_tree(cat.mat, cat.taxa, model, site_weights=w,
@@ -69,7 +84,8 @@ def support_trees(cat: ConcatenatedAlignment, reps: int, seed, *,
                   model: WagModel | None = None, method: str = "fast_ml",
                   fraction: float = 0.5, nni_rounds: int = 2,
                   bl_steps: int = 60, store=None, deadline=None,
-                  on_progress=None) -> list[Tree]:
+                  on_progress=None,
+                  resample: str = "jackknife_genes") -> list[Tree]:
     """Build `reps` jackknife support trees, optionally checkpointing
     each replicate and stopping at a deadline (resumable)."""
     from pepr_tpu.tree import parse_newick, to_newick
@@ -90,7 +106,7 @@ def support_trees(cat: ConcatenatedAlignment, reps: int, seed, *,
         tree = support_tree_single(cat, r, seed, model=model,
                                    method=method, fraction=fraction,
                                    nni_rounds=nni_rounds,
-                                   bl_steps=bl_steps)
+                                   bl_steps=bl_steps, resample=resample)
         if store is not None:
             store.save(key, to_newick(tree))
         if on_progress is not None:

@@ -302,6 +302,50 @@ def nj_tree(mat: np.ndarray, taxa: list[str],
     return nj_start_tree(mat, taxa, site_weights)
 
 
+def estimate_gamma_alpha(mat: np.ndarray, taxa: list[str], tree: Tree, *,
+                         grid=(0.3, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0),
+                         site_weights: np.ndarray | None = None,
+                         refine_iters: int = 2) -> float:
+    """ML estimate of the Gamma shape on a fixed topology: coarse grid
+    + golden-section refinement of the LL in alpha (the role of
+    RAxML's alpha optimization inside `-f e`/`-f d`)."""
+    import jax.numpy as jnp
+
+    from pepr_tpu.ops.likelihood import loglik
+
+    arr = tree_to_arrays(tree, taxa)
+    codes = jnp.asarray(np.asarray(mat, np.int8))
+    children = jnp.asarray(arr.children)
+    blen = jnp.asarray(arr.blen)
+    w = None if site_weights is None else \
+        jnp.asarray(np.asarray(site_weights, np.float32))
+
+    def ll(alpha: float) -> float:
+        model = WagModel.create(alpha=alpha)
+        return float(loglik(codes, children, blen, model,
+                            site_weights=w))
+
+    scores = [ll(a) for a in grid]
+    best = int(np.argmax(scores))
+    lo = grid[max(best - 1, 0)]
+    hi = grid[min(best + 1, len(grid) - 1)]
+    phi = (np.sqrt(5) - 1) / 2
+    a, b = lo, hi
+    x1 = b - phi * (b - a)
+    x2 = a + phi * (b - a)
+    f1, f2 = ll(x1), ll(x2)
+    for _ in range(refine_iters * 3):
+        if f1 < f2:
+            a, x1, f1 = x1, x2, f2
+            x2 = a + phi * (b - a)
+            f2 = ll(x2)
+        else:
+            b, x2, f2 = x2, x1, f1
+            x1 = b - phi * (b - a)
+            f1 = ll(x1)
+    return float((a + b) / 2)
+
+
 def parsimony_tree(mat: np.ndarray, taxa: list[str], *,
                    site_weights: np.ndarray | None = None,
                    branch_lengths: bool = False,

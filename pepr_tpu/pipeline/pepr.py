@@ -57,6 +57,8 @@ class PeprConfig:
         cfg.stage2.full_tree_method = "ml"
         cfg.stage2.support_method = "fast_ml"
         cfg.stage2.support_reps = 100
+        cfg.stage1.unique_species = True
+        cfg.stage2.congruence_filter = False
         return cfg
 
 

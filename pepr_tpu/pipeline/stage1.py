@@ -56,17 +56,20 @@ class Stage1Result:
 def filter_duplicate_species(genomes: list[SequenceSet],
                              genus_only: bool = False) -> list[SequenceSet]:
     """Keep one genome per species (first two name tokens) or genus
-    (first token) — PhyloPipeline.java:718-806."""
-    seen: set[str] = set()
-    out = []
+    (first token), preferring the genome with more genes
+    (PhyloPipeline.java:718-806)."""
+    kept: dict[str, SequenceSet] = {}
+    order: list[str] = []
     for g in genomes:
         toks = g.taxon.split("_")
         key = toks[0] if genus_only else "_".join(toks[:2])
-        if key in seen:
-            continue
-        seen.add(key)
-        out.append(g)
-    return out
+        cur = kept.get(key)
+        if cur is None:
+            kept[key] = g
+            order.append(key)
+        elif len(g) > len(cur):
+            kept[key] = g
+    return [kept[k] for k in order]
 
 
 def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
@@ -209,8 +212,11 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
     if cfg.use_hmm:
         from pepr_tpu.models.hmm_enhancer import enhance_homolog_groups
         t0 = time.time()
+        # the HMM sweep searches EVERY genome, re-admitting any
+        # duplicate-species genomes excluded from the homology search
+        # (PhyloPipeline.java:274-276 comment + HMMSetEnhancer flow)
         enh = enhance_homolog_groups(
-            hg_sets, genomes, outgroup_pool,
+            hg_sets, ingroup, outgroup_pool,
             outgroup_count=cfg.outgroup_count if outgroup_pool else 0,
             min_bits=cfg.hmm_min_bits, store=store, deadline=deadline)
         timings["hmm_enhancement"] = time.time() - t0
