@@ -452,6 +452,44 @@ def remove_taxa(tree: Tree, names: set[str]) -> Tree:
     return t
 
 
+def ladderize(tree: Tree, ascending: bool = True) -> Tree:
+    """Reorder children by descendant-leaf count (AdvancedTree's
+    ladderize, AdvancedTree.java:221-244) — purely cosmetic ordering
+    for stable, readable Newick output."""
+    counts = tree.descendant_leaf_counts()
+    out = tree.copy()
+    ch: list[list[int]] = [list(k) for k in tree.children]
+    for i in range(out.n_nodes):
+        ch[i].sort(key=lambda k: (int(counts[k]),
+                                  str(out.labels[k] or "")),
+                   reverse=not ascending)
+    out._children = ch
+    return out
+
+
+def node_coordinates(tree: Tree) -> tuple[np.ndarray, np.ndarray]:
+    """(x, y) drawing coordinates: x = root-to-node path length
+    (phylogram), y = leaf index / mean of children
+    (AdvancedTree.java:431-472, 798-854 role)."""
+    n = tree.n_nodes
+    x = np.zeros(n)
+    y = np.zeros(n)
+    for node in tree.preorder():
+        p = tree.parent[node]
+        if p >= 0:
+            b = tree.blen[node]
+            x[node] = x[p] + (0.0 if math.isnan(b) else b)
+    leaf_i = 0
+    for node in tree.postorder():
+        kids = tree.children[node]
+        if not kids:
+            y[node] = leaf_i
+            leaf_i += 1
+        else:
+            y[node] = float(np.mean([y[k] for k in kids]))
+    return x, y
+
+
 def leaf_distance_matrix(tree: Tree) -> tuple[np.ndarray, list[str]]:
     """Patristic (path-length) distances between all leaf pairs
     (BasicTree.java:1079-1116)."""
