@@ -98,7 +98,7 @@ def enhance_homolog_groups(hg_sets: list[SequenceSet],
     genome_of = np.array(genome_of, dtype=np.int64)
 
     # 3. prefilter: consensus k-mer profiles in blocks
-    def _pairs_and_bits():
+    def _pairs():
         prof_prot = kmer_profiles(seqs)
         prof_cons = kmer_profiles(consensi)
         block = 2048
@@ -111,17 +111,21 @@ def enhance_homolog_groups(hg_sets: list[SequenceSet],
                                   min_sim=prefilter_min_sim)
         p_i, _, _ = np.nonzero(cand >= 0)
         h_i = cand[cand >= 0]
-        pairs = list(zip(p_i.tolist(), h_i.tolist()))
-        log.info("enhancer: scoring %d (protein, profile) pairs",
-                 len(pairs))
-        # 4. exact profile scores
-        bits = profile_score_pairs(seqs, hmms, pairs)
-        return pairs, bits
+        return list(zip(p_i.tolist(), h_i.tolist()))
 
-    if store is not None:
-        pairs, bits = store.cached("hmm_scores", _pairs_and_bits)
-    else:
-        pairs, bits = _pairs_and_bits()
+    pairs = store.cached("hmm_pairs", _pairs) if store is not None \
+        else _pairs()
+    log.info("enhancer: scoring %d (protein, profile) pairs", len(pairs))
+    check("profile prefilter")
+
+    # 4. exact profile scores (chunk-checkpointed)
+    def _bits():
+        return profile_score_pairs(seqs, hmms, pairs, store=store,
+                                   deadline=deadline,
+                                   ckpt_key="hmm_viterbi")
+
+    bits = store.cached("hmm_scores", _bits) if store is not None \
+        else _bits()
     check("profile scoring")
 
     # best hit per (genome, hg) and per (protein, hg)

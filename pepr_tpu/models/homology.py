@@ -95,7 +95,8 @@ def _sw_gather_call(codes_all: jax.Array, q_idx: jax.Array,
 
 def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
                  pairs_t: np.ndarray, batch_size: int = 4096,
-                 max_len: int = 4096) -> dict[str, np.ndarray]:
+                 max_len: int = 4096, store=None, deadline=None,
+                 ckpt_key: str | None = None) -> dict[str, np.ndarray]:
     """Run SW on an arbitrary pair list.
 
     Transfer/compile discipline (the TPU tunnel makes host->device
@@ -115,6 +116,9 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
     if n_pairs == 0:
         return out
 
+    import logging as _logging
+    _logging.getLogger("pepr_tpu").info(
+        "sw: packing %d seqs for device_put", len(universe.seqs))
     lens = np.asarray(universe.lengths)
     lmax = _pow2_len(int(lens.max()), hi=max_len)
     packed = np.full((len(universe.seqs), lmax), 24, dtype=np.int8)
@@ -122,6 +126,8 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
         n = min(len(s), lmax)
         packed[i, :n] = np.asarray(s[:n], dtype=np.int8)
     codes_all = jax.device_put(packed)
+    codes_all.block_until_ready()
+    _logging.getLogger("pepr_tpu").info("sw: codes resident on device")
 
     lens_q = lens[pairs_q]
     lens_t = lens[pairs_t]
@@ -142,26 +148,62 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
     from pepr_tpu.utils.dispatch import BoundedDispatch
     dq = BoundedDispatch(window=16)
 
+    # resumable progress: completed (blq, blt, s0) chunks + partial outputs
+    done: set = set()
+    use_ckpt = store is not None and ckpt_key is not None
+    if use_ckpt and store.has(ckpt_key):
+        st = store.load(ckpt_key)
+        done = st["done"]
+        for k in out:
+            out[k][:] = st["out"][k]
+        log.info("sw resume: %d chunks already done", len(done))
+    last_save = _time.time()
+
     def _consume(items):
-        for (chunk, B), res in items:
+        for (chunk, B, key), res in items:
             for k in out:
                 out[k][chunk] = res[k][:B]
+            done.add(key)
+
+    def _save():
+        if use_ckpt:
+            store.save(ckpt_key, {"done": done, "out": out})
 
     for (blq, blt), idxs in sorted(buckets.items()):
         _t = _time.time()
-        for s0 in range(0, len(idxs), batch_size):
-            chunk = idxs[s0:s0 + batch_size]
+        n_run = 0
+        # cap per-call work (batch * blq * blt) so a single remote device
+        # call stays ~10s — long calls crash/drop the TPU tunnel
+        eff_batch = int(min(batch_size, max(128, (2 ** 32) // (blq * blt))))
+        eff_batch = 2 ** int(np.floor(np.log2(eff_batch)))
+        for s0 in range(0, len(idxs), eff_batch):
+            key = (blq, blt, s0)
+            if key in done:
+                continue
+            if deadline is not None and deadline.expired:
+                _consume(dq.drain())
+                _save()
+                from pepr_tpu.pipeline.checkpoint import Incomplete
+                raise Incomplete("homology SW")
+            chunk = idxs[s0:s0 + eff_batch]
             B = len(chunk)
-            qi = np.zeros(batch_size, dtype=np.int32)
-            ti = np.zeros(batch_size, dtype=np.int32)
+            qi = np.zeros(eff_batch, dtype=np.int32)
+            ti = np.zeros(eff_batch, dtype=np.int32)
             qi[:B] = eff_q[chunk]
             ti[:B] = eff_t[chunk]
             res = _sw_gather_call(codes_all, jnp.asarray(qi),
                                   jnp.asarray(ti), sub, blq, blt)
-            _consume(dq.submit((chunk, B), res))
-        log.info("sw bucket (%d,%d): %d pairs in %.1fs",
-                 blq, blt, len(idxs), _time.time() - _t)
+            _consume(dq.submit((chunk, B, key), res))
+            n_run += 1
+            if use_ckpt and _time.time() - last_save > 60.0:
+                _consume(dq.drain())
+                _save()
+                last_save = _time.time()
+        if n_run:
+            log.info("sw bucket (%d,%d): %d pairs in %.1fs",
+                     blq, blt, len(idxs), _time.time() - _t)
     _consume(dq.drain())
+    _save()
     return out
 
 
@@ -173,28 +215,35 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
                       candidates_per_genome: int = 2,
                       prefilter_min_sim: float = 0.1,
                       profile_dim: int = 1024,
-                      batch_size: int = 4096) -> tuple[ProteinUniverse, HitTable]:
+                      batch_size: int = 4096,
+                      store=None,
+                      deadline=None) -> tuple[ProteinUniverse, HitTable]:
     """Find, for every protein, its best hit in every genome (including
     its own), with blat-equivalent thresholds."""
     import logging
     import time as _time
     log = logging.getLogger("pepr_tpu")
     universe = ProteinUniverse.build(genomes)
+
+    def _cands():
+        _t = _time.time()
+        profiles = kmer_profiles(universe.seqs, dim=profile_dim)
+        log.info("homology: %d profiles in %.1fs", universe.n,
+                 _time.time() - _t)
+        _t = _time.time()
+        cand_idx, _ = candidate_pairs(profiles, profiles, universe.offsets,
+                                      top_per_genome=candidates_per_genome,
+                                      min_sim=prefilter_min_sim)
+        log.info("homology: candidates in %.1fs", _time.time() - _t)
+        # flatten candidate list (vectorized)
+        q_i, _, _ = np.nonzero(cand_idx >= 0)
+        return (q_i.astype(np.int64), cand_idx[cand_idx >= 0].astype(np.int64))
+
+    pairs_q, pairs_t = store.cached("s1_sw_pairs", _cands) \
+        if store is not None else _cands()
     _t = _time.time()
-    profiles = kmer_profiles(universe.seqs, dim=profile_dim)
-    log.info("homology: %d profiles in %.1fs", universe.n,
-             _time.time() - _t)
-    _t = _time.time()
-    cand_idx, _ = candidate_pairs(profiles, profiles, universe.offsets,
-                                  top_per_genome=candidates_per_genome,
-                                  min_sim=prefilter_min_sim)
-    log.info("homology: candidates in %.1fs", _time.time() - _t)
-    # flatten candidate list (vectorized)
-    q_i, _, _ = np.nonzero(cand_idx >= 0)
-    pairs_q = q_i.astype(np.int64)
-    pairs_t = cand_idx[cand_idx >= 0].astype(np.int64)
-    _t = _time.time()
-    res = _bucketed_sw(universe, pairs_q, pairs_t, batch_size=batch_size)
+    res = _bucketed_sw(universe, pairs_q, pairs_t, batch_size=batch_size,
+                       store=store, deadline=deadline, ckpt_key="s1_sw_out")
     log.info("homology: SW on %d pairs in %.1fs", len(pairs_q),
              _time.time() - _t)
 

@@ -110,21 +110,26 @@ def build_profile_hmm(aln: np.ndarray, name: str = "",
 
 def pack_profiles(hmms: list[ProfileHMM], length: int | None = None):
     """Stack profiles into padded arrays for the batched kernel.
-    Returns dict of (H, Mpad[, 20]) arrays + (H,) lengths."""
+
+    Emissions are laid out (H, 20, Mpad) — profile length minor — so
+    the TPU (8, 128) tiled layout pads the 20-residue axis only to 24
+    instead of padding a minor 20-axis to 128 (a 6.4x HBM blow-up that
+    OOMs with thousands of resident profiles).
+    Returns (emit, transition dict of (H, Mpad+1), (H,) lengths)."""
     ms = [h.length for h in hmms]
     mpad = int(length or 2 ** int(np.ceil(np.log2(max(max(ms), 2)))))
     H = len(hmms)
-    emit = np.full((H, mpad, N_AA), -20.0, dtype=np.float32)
+    emit = np.full((H, N_AA, mpad), -20.0, dtype=np.float32)
     fields = {k: np.full((H, mpad + 1), -20.0, dtype=np.float32)
               for k in ("tmm", "tmi", "tmd", "tim", "tii", "tdm", "tdd")}
     for i, h in enumerate(hmms):
-        m = h.length
-        emit[i, :m] = h.match_logodds[:mpad]
+        m = min(h.length, mpad)
+        emit[i, :, :m] = h.match_logodds[:m].T
         for k, arr in (("tmm", h.log_tmm), ("tmi", h.log_tmi),
                        ("tmd", h.log_tmd), ("tim", h.log_tim),
                        ("tii", h.log_tii), ("tdm", h.log_tdm),
                        ("tdd", h.log_tdd)):
-            fields[k][i, : m + 1] = arr[: mpad + 1]
+            fields[k][i, : m + 1] = arr[: m + 1]
     return emit, fields, np.array(ms, dtype=np.int32)
 
 
@@ -154,44 +159,59 @@ def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
                         tdd, m_lens: jax.Array) -> jax.Array:
     """Plan7 local Viterbi scores (bits) for B (sequence, profile) pairs.
 
-    seq_codes: (B, L) int8; emit: (B, M, 20) log-odds; transitions
+    seq_codes: (B, L) int8; emit: (B, 20, M) log-odds; transitions
     (B, M+1) in log2.  Free uniform entry into any match state (cost
     log2(1/M)) and free exit from any match state — the full-sequence
     local score the pipeline consumes (hmmsearch bit-score role; the
     reference keeps only the per-pair score, HMMSetEnhancer.java:404).
     """
     B, L = seq_codes.shape
-    M = emit.shape[1]
+    M = emit.shape[2]
     entry = -jnp.log2(jnp.maximum(m_lens.astype(jnp.float32), 1.0))
     k_idx = jnp.arange(M)[None, :]
     k_valid = k_idx < m_lens[:, None]
 
-    code_iota = jnp.arange(emit.shape[2], dtype=jnp.int32)
+    code_iota = jnp.arange(emit.shape[1], dtype=jnp.int32)
+
+    def shift1(v):
+        # v[..., k] -> v[..., k-1] with NEG fill (state index k-1 feed)
+        return jnp.concatenate(
+            [jnp.full(v.shape[:-1] + (1,), NEG, v.dtype), v[..., :-1]],
+            axis=-1)
+
+    # transitions are loop-invariant: pre-shift them ONCE (the scan body
+    # must stay lean — every extra op per step is L× on the device)
+    tmm_s = shift1(tmm[:, :M])
+    tim_s = shift1(tim[:, :M])
+    tdm_s = shift1(tdm[:, :M])
+    tmd_s = shift1(tmd[:, :M])
+    tmi_m = tmi[:, :M]
+    tii_m = tii[:, :M]
+    tdd_m = tdd[:, :M]
 
     def step(carry, x):
         codes, pos = x  # (B,), scalar
         vm, vi, vd, total = carry
-        # emission row via one-hot contraction (per-step gathers
+        # emission row via one-hot multiply+reduce over the 20-residue
+        # axis (VPU-friendly; per-step gathers or batched tiny matmuls
         # serialize on TPU)
-        onehot = (codes[:, None, None].astype(jnp.int32) ==
-                  code_iota[None, None, :]).astype(emit.dtype)
-        e = jnp.sum(emit * onehot, axis=2)
+        onehot = (codes[:, None].astype(jnp.int32) ==
+                  code_iota[None, :]).astype(emit.dtype)
+        e = jnp.sum(emit * onehot[:, :, None], axis=1)
         e = jnp.where((codes >= N_AA)[:, None], 0.0, e)
 
-        def shift(v):
-            return jnp.concatenate(
-                [jnp.full((B, 1), NEG, v.dtype), v[:, :-1]], axis=1)
-
+        # one fused shift for all three state vectors
+        vmid = jnp.stack([vm, vi, vd], axis=1)  # (B, 3, M)
+        sh = shift1(vmid)
         best_in = jnp.maximum(
-            jnp.maximum(shift(vm) + shift(tmm[:, :M]),
-                        shift(vi) + shift(tim[:, :M])),
-            jnp.maximum(shift(vd) + shift(tdm[:, :M]), entry[:, None]))
+            jnp.maximum(sh[:, 0] + tmm_s, sh[:, 1] + tim_s),
+            jnp.maximum(sh[:, 2] + tdm_s, entry[:, None]))
         new_vm = jnp.where(k_valid, e + best_in, NEG)
-        new_vi = jnp.maximum(vm + tmi[:, :M], vi + tii[:, :M])
+        new_vi = jnp.maximum(vm + tmi_m, vi + tii_m)
         # delete chain within this position: d_k = max(m_{k-1} + tmd_{k-1},
         # d_{k-1} + tdd_{k-1})
-        s_term = shift(new_vm) + shift(tmd[:, :M])
-        new_vd = _maxplus_linear_scan(s_term, tdd[:, :M])
+        s_term = shift1(new_vm + tmd[:, :M])
+        new_vd = _maxplus_linear_scan(s_term, tdd_m)
         new_total = jnp.maximum(total, jnp.max(new_vm, axis=1))
 
         live = pos < seq_lens
@@ -216,7 +236,7 @@ def _viterbi_gather_call(codes_all, lens_all, emit_all, tmm, tmi, tmd,
     only the two index vectors cross the host-device link per call."""
     codes = codes_all[seq_idx, :lpad]
     lens = jnp.minimum(lens_all[seq_idx], lpad)
-    emit = emit_all[hmm_idx, :mpad]
+    emit = emit_all[hmm_idx, :, :mpad]
     m_lens = jnp.minimum(m_lens_all[hmm_idx], mpad)
     tr = [t[hmm_idx, : mpad + 1] for t in (tmm, tmi, tmd, tim, tii,
                                            tdm, tdd)]
@@ -225,8 +245,20 @@ def _viterbi_gather_call(codes_all, lens_all, emit_all, tmm, tmi, tmd,
 
 def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
                         pairs: list[tuple[int, int]],
-                        batch_size: int = 4096) -> np.ndarray:
-    """Score (sequence index, hmm index) pairs; returns bits (P,)."""
+                        batch_size: int = 4096, store=None,
+                        deadline=None,
+                        ckpt_key: str | None = None) -> np.ndarray:
+    """Score (sequence index, hmm index) pairs; returns bits (P,).
+
+    Profiles are grouped into per-length-bucket resident packs (one
+    global pack padded to the longest profile OOMs HBM); per-call
+    batch sizes shrink with (lpad * mpad) so a single remote device
+    call stays ~10s; progress is chunk-checkpointed when a store and
+    ckpt_key are given.
+    """
+    import logging
+    import time as _time
+    log = logging.getLogger("pepr_tpu")
     if not pairs:
         return np.zeros(0, np.float32)
     out = np.zeros(len(pairs), np.float32)
@@ -234,7 +266,7 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
     def p2(x, lo):
         return int(max(lo, 2 ** int(np.ceil(np.log2(max(x, 1))))))
 
-    # device-resident packs: all sequences, all profiles
+    # one device-resident pack for all sequences (int8, cheap)
     lmax = p2(max(len(s) for s in seqs), 128)
     codes_np = np.full((len(seqs), lmax), PAD, dtype=np.int8)
     lens_np = np.zeros(len(seqs), np.int32)
@@ -242,38 +274,102 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
         n = min(len(s), lmax)
         codes_np[i, :n] = np.asarray(s[:n], np.int8)
         lens_np[i] = n
-    mmax = p2(max(h.length for h in hmms), 64)
-    emit_np, fields_np, m_lens_np = pack_profiles(hmms, mmax)
     codes_all = jax.device_put(codes_np)
     lens_all = jax.device_put(lens_np)
-    emit_all = jax.device_put(emit_np)
-    trans_all = [jax.device_put(fields_np[k])
-                 for k in ("tmm", "tmi", "tmd", "tim", "tii", "tdm",
-                           "tdd")]
-    m_lens_all = jax.device_put(m_lens_np)
+
+    # profiles grouped by their own pow2 length bucket
+    hmm_groups: dict[int, list[int]] = {}
+    for hi, h in enumerate(hmms):
+        hmm_groups.setdefault(p2(h.length, 64), []).append(hi)
 
     buckets: dict[tuple[int, int], list[int]] = {}
     for k, (si, hi) in enumerate(pairs):
         key = (p2(int(lens_np[si]), 128), p2(hmms[hi].length, 64))
         buckets.setdefault(key, []).append(k)
+
     from pepr_tpu.utils.dispatch import BoundedDispatch
     dq = BoundedDispatch(window=16)
 
-    def _consume(items):
-        for (chunk, B), res in items:
-            out[chunk] = res[:B]
+    done: set = set()
+    use_ckpt = store is not None and ckpt_key is not None
+    if use_ckpt and store.has(ckpt_key):
+        st = store.load(ckpt_key)
+        done = st["done"]
+        out[:] = st["out"]
+        log.info("viterbi resume: %d chunks already done", len(done))
+    last_save = _time.time()
 
-    for (lpad, mpad), idxs in sorted(buckets.items()):
-        for s0 in range(0, len(idxs), batch_size):
-            chunk = idxs[s0:s0 + batch_size]
-            B = len(chunk)
-            si = np.zeros(batch_size, np.int32)
-            hi = np.zeros(batch_size, np.int32)
-            for bi, k in enumerate(chunk):
-                si[bi], hi[bi] = pairs[k]
-            res = _viterbi_gather_call(
-                codes_all, lens_all, emit_all, *trans_all, m_lens_all,
-                jnp.asarray(si), jnp.asarray(hi), lpad, mpad)
-            _consume(dq.submit((chunk, B), res))
+    def _consume(items):
+        for (chunk, B, key), res in items:
+            out[chunk] = res[:B]
+            done.add(key)
+
+    def _save():
+        if use_ckpt:
+            store.save(ckpt_key, {"done": done, "out": out})
+
+    def _chunks_of(lpad, mpad):
+        idxs = buckets.get((lpad, mpad), [])
+        eff = int(min(batch_size, max(128, (2 ** 33) // (lpad * mpad))))
+        eff = 2 ** int(np.floor(np.log2(eff)))
+        return idxs, eff
+
+    for mpad in sorted(hmm_groups):
+        members = hmm_groups[mpad]
+        lpads = sorted(lp for (lp, mp) in buckets if mp == mpad)
+        todo = any(
+            (lp, mpad, s0) not in done
+            for lp in lpads
+            for s0 in range(0, len(_chunks_of(lp, mpad)[0]),
+                            _chunks_of(lp, mpad)[1]))
+        if not todo:
+            continue
+        local_of = np.zeros(len(hmms), np.int32)
+        for j, hi in enumerate(members):
+            local_of[hi] = j
+        emit_np, fields_np, m_lens_np = pack_profiles(
+            [hmms[i] for i in members], mpad)
+        emit_all = jax.device_put(emit_np)
+        trans_all = [jax.device_put(fields_np[k])
+                     for k in ("tmm", "tmi", "tmd", "tim", "tii",
+                               "tdm", "tdd")]
+        m_lens_all = jax.device_put(m_lens_np)
+        for lpad in lpads:
+            idxs, eff_batch = _chunks_of(lpad, mpad)
+            _t = _time.time()
+            n_run = 0
+            for s0 in range(0, len(idxs), eff_batch):
+                key = (lpad, mpad, s0)
+                if key in done:
+                    continue
+                if deadline is not None and deadline.expired:
+                    _consume(dq.drain())
+                    _save()
+                    from pepr_tpu.pipeline.checkpoint import Incomplete
+                    raise Incomplete("profile HMM scoring")
+                chunk = idxs[s0:s0 + eff_batch]
+                B = len(chunk)
+                si = np.zeros(eff_batch, np.int32)
+                hi = np.zeros(eff_batch, np.int32)
+                for bi, k in enumerate(chunk):
+                    si[bi] = pairs[k][0]
+                    hi[bi] = local_of[pairs[k][1]]
+                res = _viterbi_gather_call(
+                    codes_all, lens_all, emit_all, *trans_all,
+                    m_lens_all, jnp.asarray(si), jnp.asarray(hi),
+                    lpad, mpad)
+                _consume(dq.submit((chunk, B, key), res))
+                n_run += 1
+                if use_ckpt and _time.time() - last_save > 60.0:
+                    _consume(dq.drain())
+                    _save()
+                    last_save = _time.time()
+            if n_run:
+                log.info("viterbi bucket (%d,%d): %d pairs in %.1fs",
+                         lpad, mpad, len(idxs), _time.time() - _t)
+        # free this profile pack before building the next
+        _consume(dq.drain())
+        del emit_all, trans_all, m_lens_all
     _consume(dq.drain())
+    _save()
     return out

@@ -185,7 +185,8 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
         _, hits = search_all_vs_all(
             genomes, hits_per_query=cfg.hits_per_query,
             evalue_cutoff=cfg.evalue_cutoff,
-            min_identity=cfg.min_identity, min_score=cfg.min_score)
+            min_identity=cfg.min_identity, min_score=cfg.min_score,
+            store=store, deadline=deadline)
         return hits
 
     hits = store.cached("s1_hits", _hits) if store is not None else _hits()
