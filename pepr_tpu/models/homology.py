@@ -180,7 +180,7 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
             key = (blq, blt, s0)
             if key in done:
                 continue
-            if deadline is not None and deadline.expired:
+            if deadline is not None and deadline.near(90.0):
                 _consume(dq.drain())
                 _save()
                 from pepr_tpu.pipeline.checkpoint import Incomplete

@@ -135,22 +135,28 @@ def pack_profiles(hmms: list[ProfileHMM], length: int | None = None):
 
 def _maxplus_linear_scan(s: jax.Array, d: jax.Array) -> jax.Array:
     """Solve x_k = max(s_k, x_{k-1} + d_{k-1}) along the last axis
-    (x_{-1} = -inf) with an associative scan in the max-plus algebra.
+    (x_{-1} = -inf) as a Kogge-Stone doubling in the max-plus algebra.
 
     Each position is an affine map f_k(x) = max(s_k, x + a_k) with
     a_k = d_{k-1}; composition (a1,s1) then (a2,s2) is
-    (a1+a2, max(s2, s1+a2)), which is associative.
+    (a1+a2, max(s2, s1+a2)), which is associative.  Hand-rolled
+    shift-doubling instead of lax.associative_scan: the latter's
+    recursive odd/even lowering makes XLA:TPU compile time blow up
+    (>9 min at M=1024 inside a scan body; this form compiles fast).
     """
     a = jnp.concatenate([jnp.full(d.shape[:-1] + (1,), NEG, d.dtype),
                          d[..., :-1]], axis=-1)
-
-    def combine(left, right):
-        a1, s1 = left
-        a2, s2 = right
-        return a1 + a2, jnp.maximum(s2, s1 + a2)
-
-    _, x = jax.lax.associative_scan(combine, (a, s), axis=-1)
-    return x
+    m = s.shape[-1]
+    t = 1
+    while t < m:
+        pad_a = jnp.zeros(a.shape[:-1] + (t,), a.dtype)
+        pad_s = jnp.full(s.shape[:-1] + (t,), NEG, s.dtype)
+        a_l = jnp.concatenate([pad_a, a[..., :-t]], axis=-1)
+        s_l = jnp.concatenate([pad_s, s[..., :-t]], axis=-1)
+        s = jnp.maximum(s, s_l + a)
+        a = a + a_l
+        t *= 2
+    return s
 
 
 @jax.jit
@@ -266,6 +272,15 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
     def p2(x, lo):
         return int(max(lo, 2 ** int(np.ceil(np.log2(max(x, 1))))))
 
+    def p4(x, lo, hi=4096):
+        # factor-4 length buckets: every distinct (lpad, mpad) shape is
+        # a separate multi-minute remote XLA compile, so fewer/coarser
+        # buckets beat tighter padding here
+        v = lo
+        while v < min(x, hi):
+            v *= 4
+        return min(v, hi)
+
     # one device-resident pack for all sequences (int8, cheap)
     lmax = p2(max(len(s) for s in seqs), 128)
     codes_np = np.full((len(seqs), lmax), PAD, dtype=np.int8)
@@ -277,14 +292,14 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
     codes_all = jax.device_put(codes_np)
     lens_all = jax.device_put(lens_np)
 
-    # profiles grouped by their own pow2 length bucket
+    # profiles grouped by their own length bucket
     hmm_groups: dict[int, list[int]] = {}
     for hi, h in enumerate(hmms):
-        hmm_groups.setdefault(p2(h.length, 64), []).append(hi)
+        hmm_groups.setdefault(p4(h.length, 64), []).append(hi)
 
     buckets: dict[tuple[int, int], list[int]] = {}
     for k, (si, hi) in enumerate(pairs):
-        key = (p2(int(lens_np[si]), 128), p2(hmms[hi].length, 64))
+        key = (p4(int(lens_np[si]), 128), p4(hmms[hi].length, 64))
         buckets.setdefault(key, []).append(k)
 
     from pepr_tpu.utils.dispatch import BoundedDispatch
@@ -338,11 +353,17 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
             idxs, eff_batch = _chunks_of(lpad, mpad)
             _t = _time.time()
             n_run = 0
+            n_pending = sum(1 for s0 in range(0, len(idxs), eff_batch)
+                            if (lpad, mpad, s0) not in done)
+            if n_pending:
+                log.info("viterbi bucket (%d,%d): start, %d pairs, "
+                         "%d pending chunks of %d", lpad, mpad,
+                         len(idxs), n_pending, eff_batch)
             for s0 in range(0, len(idxs), eff_batch):
                 key = (lpad, mpad, s0)
                 if key in done:
                     continue
-                if deadline is not None and deadline.expired:
+                if deadline is not None and deadline.near(90.0):
                     _consume(dq.drain())
                     _save()
                     from pepr_tpu.pipeline.checkpoint import Incomplete

@@ -59,6 +59,13 @@ class Deadline:
     def expired(self) -> bool:
         return self.t_end is not None and time.time() >= self.t_end
 
+    def near(self, margin: float) -> bool:
+        """True within `margin` seconds of the deadline — stop
+        submitting new device work so in-flight results can still be
+        drained and checkpointed before a hard kill."""
+        return self.t_end is not None and \
+            time.time() >= self.t_end - margin
+
     def remaining(self) -> float:
         if self.t_end is None:
             return float("inf")
