@@ -64,15 +64,17 @@ def build_profile_hmm(aln: np.ndarray, name: str = "",
         match_cols = np.arange(L)
         M = L
 
+    sub = aln[:, match_cols]
     counts = np.zeros((M, N_AA))
-    for mi, col in enumerate(match_cols):
-        for a in range(N_AA):
-            counts[mi, a] = (aln[:, col] == a).sum()
+    for a in range(N_AA):
+        counts[:, a] = (sub == a).sum(axis=0)
     probs = (counts + pseudo * bg[None, :])
     probs /= probs.sum(axis=1, keepdims=True)
     match_logodds = np.log2(probs / bg[None, :])
 
     # transition counts from the gap structure between match columns
+    # (vectorized over columns — thousands of profiles are built per
+    # pipeline round, per-column Python loops dominated wall time)
     tmm = np.full(M + 1, 0.9)
     tmi = np.full(M + 1, 0.05)
     tmd = np.full(M + 1, 0.05)
@@ -80,26 +82,24 @@ def build_profile_hmm(aln: np.ndarray, name: str = "",
     tii = np.full(M + 1, 0.5)
     tdm = np.full(M + 1, 0.5)
     tdd = np.full(M + 1, 0.5)
-    # refine from data: for consecutive match cols, count deletions
-    # (gap at col) and insertions (residues in between)
-    for mi in range(M):
-        col = match_cols[mi]
-        del_frac = is_gap[:, col].mean()
-        tmd[mi] = min(max(del_frac, 0.02), 0.6)
-        if mi + 1 < M:
-            between = np.arange(match_cols[mi] + 1, match_cols[mi + 1])
-        else:
-            between = np.arange(match_cols[mi] + 1, L)
-        if len(between):
-            ins_frac = (~is_gap[:, between]).mean()
-            tmi[mi] = min(max(ins_frac, 0.02), 0.5)
-        else:
-            tmi[mi] = 0.02
-        tmm[mi] = max(1.0 - tmi[mi] - tmd[mi], 0.1)
-        s = tmm[mi] + tmi[mi] + tmd[mi]
-        tmm[mi] /= s
-        tmi[mi] /= s
-        tmd[mi] /= s
+    # deletions: gap fraction at each match column
+    tmd_v = np.clip(is_gap[:, match_cols].mean(axis=0), 0.02, 0.6)
+    # insertions: residue density in the run between consecutive match
+    # columns (prefix sums over per-column non-gap counts)
+    starts = match_cols + 1
+    ends = np.append(match_cols[1:], L)
+    nongap_col = np.concatenate(
+        [[0], np.cumsum((~is_gap).sum(axis=0))])
+    region_sum = nongap_col[ends] - nongap_col[starts]
+    region_len = ends - starts
+    ins_frac = np.where(region_len > 0,
+                        region_sum / np.maximum(n * region_len, 1), 0.0)
+    tmi_v = np.where(region_len > 0, np.clip(ins_frac, 0.02, 0.5), 0.02)
+    tmm_v = np.maximum(1.0 - tmi_v - tmd_v, 0.1)
+    s = tmm_v + tmi_v + tmd_v
+    tmm[:M] = tmm_v / s
+    tmi[:M] = tmi_v / s
+    tmd[:M] = tmd_v / s
 
     def lg(x):
         return np.log2(np.maximum(x, 1e-10))
