@@ -23,7 +23,7 @@ import numpy as np
 
 from pepr_tpu.alphabet import GAP, N_AA, PAD
 from pepr_tpu.io.fasta import SequenceSet
-from pepr_tpu.models.msa import align_families
+from pepr_tpu.models.msa import align_families_chunked
 from pepr_tpu.ops.hmm import ProfileHMM, build_profile_hmm, \
     profile_score_pairs
 from pepr_tpu.ops.kmer_filter import candidate_pairs, kmer_profiles
@@ -69,12 +69,15 @@ def enhance_homolog_groups(hg_sets: list[SequenceSet],
     if not hg_sets:
         return EnhancerResult([], [])
     # 1. align groups, build profiles + consensus keys
-    if store is not None:
-        mats = store.cached("hmm_group_alignments",
-                            lambda: align_families(
-                                [s.seqs for s in hg_sets]))
+    # (chunk-checkpointed: 7k+ groups can take several deadline slices)
+    if store is not None and store.has("hmm_group_alignments"):
+        mats = store.load("hmm_group_alignments")
     else:
-        mats = align_families([s.seqs for s in hg_sets])
+        mats = align_families_chunked(
+            [s.seqs for s in hg_sets], store=store, deadline=deadline,
+            ckpt_key="hmm_align_chunk")
+        if store is not None:
+            store.save("hmm_group_alignments", mats)
     log.info("enhancer: %d group alignments ready", len(mats))
     check("group alignment")
     hmms: list[ProfileHMM] = []

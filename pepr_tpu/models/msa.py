@@ -198,6 +198,49 @@ def _fit(arr: np.ndarray, L: int) -> np.ndarray:
     return out
 
 
+def align_families_chunked(families: list[list[np.ndarray]], *,
+                           store=None, deadline=None,
+                           ckpt_key: str = "align_chunk",
+                           chunk: int = 512,
+                           **kw) -> list[np.ndarray]:
+    """`align_families` in resumable slices.
+
+    Families are aligned `chunk` at a time; each slice is persisted to
+    the checkpoint store under `{ckpt_key}_{i}` so an interrupted run
+    resumes at the first unfinished slice, and the deadline is polled
+    between slices (the reference's align pools have no such
+    affordance — PhylogenomicPipeline2.java:701-725 just runs to
+    completion).  A chunk of hundreds of families still fills the
+    device with full merge waves, so batching efficiency is kept.
+    """
+    import logging
+    import time
+
+    log = logging.getLogger("pepr_tpu")
+    n = len(families)
+    out: list[np.ndarray] = []
+    for i, s0 in enumerate(range(0, n, chunk)):
+        part = families[s0:s0 + chunk]
+        t0 = time.time()
+        if store is not None:
+            key = f"{ckpt_key}_{i}"
+            cached = store.has(key)
+            mats = store.cached(key, lambda: align_families(part, **kw))
+        else:
+            cached, mats = False, align_families(part, **kw)
+        out.extend(mats)
+        if not cached:
+            log.info("align: %d/%d families (%.1fs slice)",
+                     min(s0 + chunk, n), n, time.time() - t0)
+        # only pause after *fresh* work: replaying cached slices is
+        # cheap and must make progress toward the first unfinished one
+        if not cached and deadline is not None and deadline.expired \
+                and s0 + chunk < n:
+            from pepr_tpu.pipeline.checkpoint import Incomplete
+            raise Incomplete("family alignment")
+    return out
+
+
 def align_family(seqs: list[np.ndarray], **kw) -> np.ndarray:
     return align_families([seqs], **kw)[0]
 

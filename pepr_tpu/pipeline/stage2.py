@@ -15,7 +15,7 @@ import numpy as np
 
 from pepr_tpu.io.fasta import SequenceSet
 from pepr_tpu.models.concat import ConcatenatedAlignment, concatenate
-from pepr_tpu.models.msa import Alignment, align_sequence_sets
+from pepr_tpu.models.msa import Alignment
 from pepr_tpu.models.support import decorated_tree, support_trees
 from pepr_tpu.models.treebuild import ml_tree, nj_tree
 from pepr_tpu.ops.likelihood import WagModel
@@ -99,7 +99,13 @@ def run_stage2(sets: list[SequenceSet],
         raise ValueError("no homolog groups survive the taxa filters")
 
     def _align_and_trim():
-        alignments = align_sequence_sets(kept)
+        from pepr_tpu.models.msa import align_families_chunked
+        mats = align_families_chunked(
+            [s.seqs for s in kept], store=store, deadline=deadline,
+            ckpt_key="s2_align_chunk")
+        alignments = [Alignment(s.name, list(s.taxa), m,
+                                titles=list(s.titles))
+                      for s, m in zip(kept, mats)]
         if cfg.trim:
             trimmed = []
             for a in alignments:

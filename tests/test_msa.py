@@ -93,6 +93,33 @@ def test_align_families_batched(rng):
             assert (_strip_gaps(mat[r]) == s).all()
 
 
+def test_align_families_chunked_resumes(rng, tmp_path):
+    from pepr_tpu.models.msa import align_families_chunked
+    from pepr_tpu.pipeline.checkpoint import CheckpointStore, Deadline, \
+        Incomplete
+
+    fams = []
+    for f in range(7):
+        base = rng.integers(0, 20, size=40).astype(np.int8)
+        fams.append([base.copy() for _ in range(3)])
+    ref = align_families(fams)
+
+    store = CheckpointStore(str(tmp_path / "ck"))
+    expired = Deadline(0.0)  # already expired: one chunk per call
+    done = 0
+    while True:
+        try:
+            mats = align_families_chunked(fams, store=store,
+                                          deadline=expired, chunk=2)
+            break
+        except Incomplete:
+            done += 1
+    assert done == 3  # 7 families / chunk 2 -> 4 slices, 3 interrupts
+    assert len(mats) == 7
+    for a, b in zip(ref, mats):
+        assert (a == b).all()
+
+
 def test_upgma_merges_closest_first():
     d = np.array([[0, 1, 8, 8],
                   [1, 0, 8, 8],
