@@ -34,8 +34,11 @@ def main() -> int:
 
     genome_files = sorted(glob.glob(os.path.join(EX, "*.faa")))
     outgroup_files = sorted(glob.glob(os.path.join(EX, "outgroup", "*.faa")))
-    assert len(genome_files) == 10 and len(outgroup_files) == 4, (
-        len(genome_files), len(outgroup_files))
+    if len(genome_files) != 10 or len(outgroup_files) != 4:
+        print(f"dataset mismatch: {len(genome_files)} ingroup (want 10), "
+              f"{len(outgroup_files)} outgroup (want 4) under {EX}",
+              file=sys.stderr)
+        return 1
 
     out_dir = os.path.join(HERE, "ery_out")
     os.makedirs(out_dir, exist_ok=True)

@@ -21,25 +21,35 @@ def column_bipartitions(aln: Alignment, t_index: dict[str, int],
                         min_side: int = 2) -> list[int]:
     """Character-class bipartitions of every column
     (SequenceAlignment.java:808-902): each residue class with at least
-    `min_side` members on both sides defines a taxon bipartition."""
+    `min_side` members on both sides defines a taxon bipartition.
+
+    Vectorized: per residue class, taxon membership over all columns is
+    one (n_taxa, n_rows) @ (n_rows, L) contraction; only the qualifying
+    (class, column) pairs are materialized as python-int bitsets (the
+    per-row-per-column loop died at BASELINE.json scale)."""
     n_tot = len(t_index)
     full = (1 << n_tot) - 1
-    rows = [t_index.get(t) for t in aln.taxa]
+    rows = np.array([t_index.get(t, -1) for t in aln.taxa], dtype=np.int64)
+    keep = rows >= 0
+    mat = aln.mat[keep]
+    ti = rows[keep]
+    if mat.size == 0:
+        return []
+    onehot_t = np.zeros((n_tot, mat.shape[0]), dtype=np.uint8)
+    onehot_t[ti, np.arange(mat.shape[0])] = 1
     out: list[int] = []
-    mat = aln.mat
-    for col in range(aln.length):
-        classes: dict[int, int] = {}
-        for r, ti in enumerate(rows):
-            if ti is None:
-                continue
-            c = int(mat[r, col])
-            if c >= N_AA:
-                continue
-            classes[c] = classes.get(c, 0) | (1 << ti)
-        for mask in classes.values():
-            size = bin(mask).count("1")
-            if min_side <= size <= n_tot - min_side:
-                out.append(canonical(mask, full))
+    for a in range(N_AA):
+        hit = (mat == a)
+        if not hit.any():
+            continue
+        memb = (onehot_t @ hit.astype(np.uint8)) > 0  # (n_tot, L)
+        sizes = memb.sum(axis=0)
+        for col in np.nonzero((sizes >= min_side)
+                              & (sizes <= n_tot - min_side))[0]:
+            mask = int.from_bytes(
+                np.packbits(memb[:, col], bitorder="little").tobytes(),
+                "little")
+            out.append(canonical(mask, full))
     return out
 
 

@@ -276,40 +276,50 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
                               ident[ok], klen[ok])
 
 
+def _packed_pair_groups(q: np.ndarray, t: np.ndarray):
+    """Sort hits by packed unordered-pair key; returns (lo, hi, key,
+    order, group-start mask) — shared plumbing for the edge filters
+    (vectorized: the per-hit dict loop died at BASELINE.json scale)."""
+    lo = np.minimum(q, t).astype(np.int64)
+    hi = np.maximum(q, t).astype(np.int64)
+    n = max(int(hi.max()) + 1, 1) if len(hi) else 1
+    key = lo * n + hi
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    first = np.ones(len(ks), dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    return lo, hi, key, order, first
+
+
 def bidirectional_edges(hits: HitTable) -> tuple[np.ndarray, np.ndarray,
                                                  np.ndarray]:
     """Keep only pairs hit in both directions; returns undirected edges
     (i, j, weight=max bit score of the two directions).  Self hits can
     never be bidirectional (PhyloPipeline.filterForBidirectional:
     the unordered pair must be seen twice)."""
-    seen: dict[tuple[int, int], float] = {}
-    out_i, out_j, out_w = [], [], []
-    for q, t, b in zip(hits.query, hits.target, hits.bits):
-        key = (int(min(q, t)), int(max(q, t)))
-        if key in seen:
-            out_i.append(key[0])
-            out_j.append(key[1])
-            out_w.append(max(seen.pop(key), float(b)))
-        else:
-            seen[key] = float(b)
-    return (np.array(out_i, dtype=np.int64), np.array(out_j, dtype=np.int64),
-            np.array(out_w, dtype=np.float64))
+    if len(hits.query) == 0:
+        return (np.zeros(0, np.int64),) * 2 + (np.zeros(0),)
+    lo, hi, key, order, first = _packed_pair_groups(hits.query, hits.target)
+    starts = np.nonzero(first)[0]
+    counts = np.diff(np.append(starts, len(order)))
+    wmax = np.maximum.reduceat(hits.bits[order].astype(np.float64), starts)
+    keep = counts >= 2  # pair seen in both directions
+    sel = order[starts[keep]]
+    return lo[sel], hi[sel], wmax[keep]
 
 
 def all_edges(hits: HitTable) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Non-bidirectional variant (filterHitPairFile): every directed hit
     becomes an edge; duplicates collapse to max; self loops dropped."""
-    seen: dict[tuple[int, int], float] = {}
-    for q, t, b in zip(hits.query, hits.target, hits.bits):
-        if q == t:
-            continue
-        key = (int(min(q, t)), int(max(q, t)))
-        seen[key] = max(seen.get(key, 0.0), float(b))
-    if not seen:
+    nz = hits.query != hits.target
+    q, t, b = hits.query[nz], hits.target[nz], hits.bits[nz]
+    if len(q) == 0:
         return (np.zeros(0, np.int64),) * 2 + (np.zeros(0),)
-    ij = np.array(list(seen.keys()), dtype=np.int64)
-    w = np.array(list(seen.values()))
-    return ij[:, 0], ij[:, 1], w
+    lo, hi, key, order, first = _packed_pair_groups(q, t)
+    starts = np.nonzero(first)[0]
+    wmax = np.maximum.reduceat(b[order].astype(np.float64), starts)
+    sel = order[starts]
+    return lo[sel], hi[sel], wmax
 
 
 def cluster_homolog_groups(universe: ProteinUniverse, hits: HitTable, *,

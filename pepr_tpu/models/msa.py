@@ -24,29 +24,33 @@ from pepr_tpu.ops.profile_align import nw_profile_batch, traceback
 
 def upgma(dist: np.ndarray) -> list[tuple[int, int]]:
     """UPGMA merge order on a condensed distance matrix.  Returns merge
-    pairs referring to cluster ids (leaves 0..n-1, new clusters n+k)."""
+    pairs referring to cluster ids (leaves 0..n-1, new clusters n+k).
+    Vectorized (whole-matrix argmin + row/column average update per
+    merge — the per-pair python loop was O(n^3) python ops)."""
     n = dist.shape[0]
+    if n < 2:
+        return []
     d = dist.astype(np.float64).copy()
     np.fill_diagonal(d, np.inf)
-    active = {i: (i, 1) for i in range(n)}  # row -> (cluster id, size)
+    size = np.ones(n)
+    cid = np.arange(n)
     merges: list[tuple[int, int]] = []
     next_id = n
-    rows = list(range(n))
-    while len(rows) > 1:
-        sub = d[np.ix_(rows, rows)]
-        k = np.unravel_index(np.argmin(sub), sub.shape)
-        ri, rj = rows[k[0]], rows[k[1]]
-        ci, si = active[ri]
-        cj, sj = active[rj]
-        merges.append((ci, cj))
-        # merged distances (average linkage)
-        for r in rows:
-            if r in (ri, rj):
-                continue
-            d[ri, r] = d[r, ri] = (si * d[ri, r] + sj * d[rj, r]) / (si + sj)
-        active[ri] = (next_id, si + sj)
+    for _ in range(n - 1):
+        k = int(np.argmin(d))
+        i, j = divmod(k, n)
+        if i > j:
+            i, j = j, i
+        merges.append((int(cid[i]), int(cid[j])))
+        new = (size[i] * d[i] + size[j] * d[j]) / (size[i] + size[j])
+        d[i, :] = new
+        d[:, i] = new
+        d[i, i] = np.inf
+        d[j, :] = np.inf
+        d[:, j] = np.inf
+        size[i] += size[j]
+        cid[i] = next_id
         next_id += 1
-        rows.remove(rj)
     return merges
 
 

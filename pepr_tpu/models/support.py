@@ -84,16 +84,26 @@ def support_trees(cat: ConcatenatedAlignment, reps: int, seed, *,
                   model: WagModel | None = None, method: str = "fast_ml",
                   fraction: float = 0.5, nni_rounds: int = 2,
                   bl_steps: int = 60, store=None, deadline=None,
-                  on_progress=None,
-                  resample: str = "jackknife_genes") -> list[Tree]:
-    """Build `reps` jackknife support trees, optionally checkpointing
-    each replicate and stopping at a deadline (resumable)."""
+                  on_progress=None, resample: str = "jackknife_genes",
+                  batched: bool = True) -> list[Tree]:
+    """Build `reps` jackknife support trees.
+
+    Default path is the batched replicate fan-out over the device mesh
+    (support_trees_batched); `batched=False` keeps the serial
+    one-replicate-at-a-time path (also the fallback for non-fast_ml
+    methods), checkpointing each replicate and stopping at a deadline
+    (resumable)."""
     from pepr_tpu.tree import parse_newick, to_newick
 
     if isinstance(seed, np.random.Generator):  # legacy call style
         seed = int(seed.integers(1 << 31))
     if model is None:
         model = WagModel.create()
+    if batched and method in ("ml", "fast_ml") and reps > 1:
+        return support_trees_batched(
+            cat, reps, seed, model=model, fraction=fraction,
+            nni_rounds=nni_rounds, bl_steps=bl_steps, store=store,
+            deadline=deadline, on_progress=on_progress, resample=resample)
     out: list[Tree] = []
     for r in range(reps):
         key = f"support_{r:04d}"
@@ -113,6 +123,177 @@ def support_trees(cat: ConcatenatedAlignment, reps: int, seed, *,
             on_progress(r)
         out.append(tree)
     return out
+
+
+def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
+                          seed: int, *, model: WagModel | None = None,
+                          fraction: float = 0.5, nni_rounds: int = 2,
+                          bl_steps: int = 60, store=None, deadline=None,
+                          on_progress=None,
+                          resample: str = "jackknife_genes") -> list[Tree]:
+    """All replicates at once over the device mesh — the TPU-native
+    replacement for the reference's RAM-throttled jackknife thread pool
+    (PhylogenomicPipeline2.java:1039-1099).
+
+    Per-replicate NJ starting topologies are host work; branch-length
+    optimization of ALL replicates is one sharded computation
+    (parallel.mesh.sharded_replicate_blopt: replicates over the 'rep'
+    mesh axis, sites over 'site'), and each NNI round scores every
+    replicate's full candidate neighborhood in fixed-shape device
+    batches with per-candidate site-weight masks.  Checkpointing is at
+    phase granularity (starts / each NNI round), resuming mid-run.
+    """
+    import logging
+
+    import jax.numpy as jnp
+
+    from pepr_tpu.models.treebuild import (_apply_swaps, _nni_moves,
+                                           _postorder_fix, _remap_blen,
+                                           _score_topologies_w,
+                                           nj_start_tree, tree_to_arrays,
+                                           arrays_to_tree)
+    from pepr_tpu.ops.likelihood import TreeArrays, _norm_chunk
+    from pepr_tpu.parallel.mesh import default_mesh, sharded_replicate_blopt
+    from pepr_tpu.tree import parse_newick, to_newick
+
+    log = logging.getLogger("pepr_tpu")
+    if model is None:
+        model = WagModel.create()
+
+    # already finished? (per-replicate keys, shared with the serial path)
+    if store is not None and all(store.has(f"support_{r:04d}")
+                                 for r in range(reps)):
+        return [parse_newick(store.load(f"support_{r:04d}"))
+                for r in range(reps)]
+
+    def check(stage: str):
+        if deadline is not None and deadline.expired:
+            from pepr_tpu.pipeline.checkpoint import Incomplete
+            raise Incomplete(stage)
+
+    if resample == "bootstrap_sites":
+        masks = np.stack([bootstrap_weights(cat.length, r, seed)
+                          for r in range(reps)])
+    else:
+        masks = jackknife_gene_masks(cat, reps, seed, fraction)
+
+    # phase 1: per-replicate NJ starting topologies (host)
+    def _starts():
+        out = []
+        for r in range(reps):
+            out.append(to_newick(nj_start_tree(cat.mat, cat.taxa,
+                                               masks[r])))
+        return out
+    start_nwks = store.cached("support_starts", _starts) \
+        if store is not None else _starts()
+    arrs = [tree_to_arrays(parse_newick(nwk), cat.taxa)
+            for nwk in start_nwks]
+    children = np.stack([a.children for a in arrs])  # (R, n_int, 3)
+    blens = np.stack([a.blen for a in arrs])  # (R, n_nodes)
+    check("support starts")
+
+    mesh = default_mesh()
+    n_leaves = len(cat.taxa)
+    margs = (jnp.asarray(model.eig), jnp.asarray(model.u),
+             jnp.asarray(model.u_inv), jnp.asarray(model.pi),
+             jnp.asarray(model.rates))
+    codes_d = jnp.asarray(np.asarray(cat.mat, np.int8))
+    site_chunk = _norm_chunk(cat.length, 4096)
+
+    # phase 2 + 3: joint BL-opt, then NNI rounds (state checkpointed)
+    state_key = "support_batch_state"
+    state = store.load(state_key) if store is not None \
+        and store.has(state_key) else None
+    if state is not None:
+        children, blens, lls, round_done = state
+    else:
+        blens, lls = sharded_replicate_blopt(mesh, cat.mat, masks,
+                                             children, blens, model,
+                                             steps=bl_steps)
+        round_done = 0
+        if store is not None:
+            store.save(state_key, (children, blens, lls, round_done))
+        log.info("support: batched BL-opt of %d replicates done", reps)
+    check("support BL-opt")
+
+    for rnd in range(round_done, nni_rounds):
+        # build every replicate's NNI neighborhood
+        cand_children, cand_blen, cand_w, cand_rep = [], [], [], []
+        per_rep_moves: list[list] = []
+        for r in range(reps):
+            moves = _nni_moves(children[r], n_leaves)
+            per_rep_moves.append(moves)
+            for m in moves:
+                f = _postorder_fix(_apply_swaps(children[r], n_leaves,
+                                                [m]), n_leaves)
+                cand_children.append(f)
+                cand_blen.append(_remap_blen(children[r], f, blens[r],
+                                             n_leaves))
+                cand_w.append(masks[r])
+                cand_rep.append(r)
+        scores = np.zeros(len(cand_children))
+        batch = 16
+        pad_to = min(batch, len(cand_children))
+        for c0 in range(0, len(cand_children), batch):
+            cb = cand_children[c0:c0 + batch]
+            bb = cand_blen[c0:c0 + batch]
+            wb = cand_w[c0:c0 + batch]
+            n_real = len(cb)
+            while len(cb) < pad_to:
+                cb, bb, wb = cb + [cb[-1]], bb + [bb[-1]], wb + [wb[-1]]
+            s = _score_topologies_w(
+                codes_d, jnp.asarray(np.stack(cb)),
+                jnp.asarray(np.stack(bb)), *margs,
+                jnp.asarray(np.stack(wb)), chunk=site_chunk)
+            scores[c0:c0 + n_real] = np.asarray(s)[:n_real]
+        # accept per replicate: all improving non-conflicting moves
+        cand_rep = np.array(cand_rep)
+        new_children = children.copy()
+        changed = 0
+        pos = 0
+        for r in range(reps):
+            k = len(per_rep_moves[r])
+            r_scores = scores[pos:pos + k]
+            pos += k
+            improving = np.nonzero(r_scores > lls[r] + 1e-4)[0]
+            if len(improving) == 0:
+                continue
+            taken, touched = [], set()
+            for idx in improving[np.argsort(-r_scores[improving])]:
+                k_c, k_p, kid, z = per_rep_moves[r][int(idx)]
+                if {k_c, k_p} & touched:
+                    continue
+                touched |= {k_c, k_p}
+                taken.append(per_rep_moves[r][int(idx)])
+            fixed = _postorder_fix(_apply_swaps(children[r], n_leaves,
+                                                taken), n_leaves)
+            blens[r] = _remap_blen(children[r], fixed, blens[r], n_leaves)
+            new_children[r] = fixed
+            changed += 1
+        children = new_children
+        if changed == 0:
+            log.info("support: NNI converged after round %d", rnd)
+            break
+        blens, lls = sharded_replicate_blopt(mesh, cat.mat, masks,
+                                             children, blens, model,
+                                             steps=max(bl_steps // 2, 20))
+        if store is not None:
+            store.save(state_key, (children, blens, lls, rnd + 1))
+        log.info("support: NNI round %d moved %d/%d replicates", rnd,
+                 changed, reps)
+        check(f"support NNI round {rnd}")
+
+    trees = []
+    for r in range(reps):
+        arr = TreeArrays(children[r], blens[r],
+                         arrs[r].node_of_tree_node, list(cat.taxa))
+        tree = arrays_to_tree(arr)
+        trees.append(tree)
+        if store is not None:
+            store.save(f"support_{r:04d}", to_newick(tree))
+        if on_progress is not None:
+            on_progress(r)
+    return trees
 
 
 def decorated_tree(full_tree: Tree, reps_trees: list[Tree]) -> Tree:

@@ -130,23 +130,58 @@ def loglik_sites(codes: jax.Array, children: jax.Array, blen: jax.Array,
     return jax.scipy.special.logsumexp(site_cat, axis=0) - jnp.log(C * 1.0)
 
 
+def _norm_chunk(L: int, chunk: int) -> int:
+    """Effective site-chunk: a power of two no larger than needed."""
+    c = min(chunk, int(2 ** np.ceil(np.log2(max(L, 1)))))
+    return max(int(c), 128)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "remat"))
+def loglik_weighted(codes: jax.Array, children: jax.Array, blen: jax.Array,
+                    eig, u, u_inv, pi, rates, weights: jax.Array,
+                    chunk: int = 4096, remat: bool = True) -> jax.Array:
+    """Total weighted log-likelihood with the site axis processed in
+    `chunk`-column slices via lax.scan, so live memory is ONE chunk's
+    (n_nodes, C, chunk, 20) partials buffer instead of the full-L one.
+    With `remat` the chunk forward is rematerialized in the backward
+    pass (jax.checkpoint), bounding gradient memory the same way —
+    this is what lets branch-length optimization run at golden-run
+    alignment lengths (and many replicates vmapped) without OOM."""
+    from pepr_tpu.alphabet import PAD
+
+    n_leaves, L = codes.shape
+    Lp = -(-L // chunk) * chunk
+    if Lp != L:
+        codes = jnp.pad(codes, ((0, 0), (0, Lp - L)), constant_values=PAD)
+        weights = jnp.pad(weights, (0, Lp - L))
+    n_chunks = Lp // chunk
+    codes_r = codes.reshape(n_leaves, n_chunks, chunk).transpose(1, 0, 2)
+    w_r = weights.reshape(n_chunks, chunk)
+
+    def body(acc, xs):
+        cd, w = xs
+        ll = loglik_sites(cd, children, blen, eig, u, u_inv, pi, rates)
+        return acc + (ll * w).sum(), None
+
+    f = jax.checkpoint(body) if remat else body
+    total, _ = jax.lax.scan(f, jnp.float32(0.0), (codes_r, w_r))
+    return total
+
+
 def loglik(codes, children, blen, model: WagModel,
            site_weights=None, chunk: int = 8192) -> jax.Array:
     """Total (weighted) log-likelihood, chunking the site axis to bound
     the partials buffer."""
+    codes = jnp.asarray(codes)
     L = codes.shape[1]
-    eig, u, ui = (jnp.asarray(model.eig), jnp.asarray(model.u),
-                  jnp.asarray(model.u_inv))
-    pi, rates = jnp.asarray(model.pi), jnp.asarray(model.rates)
-    total = jnp.float32(0.0)
-    for s0 in range(0, L, chunk):
-        s1 = min(s0 + chunk, L)
-        ll = loglik_sites(codes[:, s0:s1], children, blen, eig, u, ui, pi,
-                          rates)
-        if site_weights is not None:
-            ll = ll * site_weights[s0:s1]
-        total = total + ll.sum()
-    return total
+    w = jnp.ones(L, jnp.float32) if site_weights is None \
+        else jnp.asarray(site_weights, jnp.float32)
+    return loglik_weighted(
+        codes, jnp.asarray(children), jnp.asarray(blen),
+        jnp.asarray(model.eig), jnp.asarray(model.u),
+        jnp.asarray(model.u_inv), jnp.asarray(model.pi),
+        jnp.asarray(model.rates), w, chunk=_norm_chunk(L, chunk),
+        remat=False)
 
 
 # -- Tree <-> kernel array conversion -------------------------------------

@@ -20,19 +20,62 @@ NamedSharding) — no hand-written NCCL/MPI analog is needed.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pepr_tpu.ops.likelihood import WagModel, loglik_sites
+from pepr_tpu.ops.likelihood import WagModel, loglik_sites, loglik_weighted
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Multi-host init (jax.distributed) — the TPU-native replacement
+    for the reference's dead RemoteHost hooks (SURVEY §2c final row).
+
+    Reads PEPR_COORDINATOR / PEPR_NUM_PROCS / PEPR_PROC_ID when args are
+    not given (TPU pods can also rely on jax.distributed's automatic
+    environment detection by calling with all-None after setting
+    PEPR_COORDINATOR=auto).  Returns True if a multi-process runtime was
+    initialized, False for the single-process fallback.
+    """
+    coordinator = coordinator or os.environ.get("PEPR_COORDINATOR")
+    if coordinator is None:
+        return False
+    if coordinator == "auto":
+        jax.distributed.initialize()
+    else:
+        num_processes = int(num_processes
+                            or os.environ["PEPR_NUM_PROCS"])
+        process_id = int(process_id if process_id is not None
+                         else os.environ["PEPR_PROC_ID"])
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return True
 
 
 def default_mesh(axes: tuple[str, ...] = ("rep", "site"),
                  devices=None) -> Mesh:
-    """Mesh over all local devices: replicate axis x site axis.  With D
-    devices uses (R, S) with R*S == D, R as square as possible."""
-    devices = jax.devices() if devices is None else devices
+    """Mesh over all devices.
+
+    Multi-process (after initialize_distributed): the 'rep' axis runs
+    across processes and the 'site' axis within a process, so replicate
+    fan-out needs no inter-host traffic while the site-reduction psum
+    rides ICI, never DCN.  Single-process: (R, S) with R*S == D, R as
+    square as possible.
+    """
+    if devices is None:
+        devices = jax.devices()
+        n_proc = jax.process_count()
+        if len(axes) == 2 and n_proc > 1:
+            local = len(devices) // n_proc
+            grid = np.array(devices).reshape(n_proc, local)
+            return Mesh(grid, axes)
     d = len(devices)
     if len(axes) == 1:
         return Mesh(np.array(devices), axes)
@@ -82,21 +125,76 @@ def sharded_loglik(mesh: Mesh, codes, weights, children, blen,
     return f(codes_s, w_s, jnp.asarray(children), jnp.asarray(blen))
 
 
+def _softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+def _inv_softplus(y):
+    y = jnp.maximum(y, 1e-6)
+    return jnp.where(y > 20, y, jnp.log(jnp.expm1(y)))
+
+
+def _rep_chunk(R: int, L: int, cap_lanes: int = 131072) -> int:
+    """Site chunk so the vmapped per-chunk partials buffer stays
+    bounded: R_reps x chunk site lanes <= cap (each lane costs
+    n_nodes*C*20 floats live in the chunk scan)."""
+    c = max(int(cap_lanes // max(R, 1)), 128)
+    c = int(2 ** np.floor(np.log2(c)))
+    return min(c, int(2 ** np.ceil(np.log2(max(L, 1)))), 4096)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "chunk", "lr"))
+def _rep_blopt_jit(codes, rw, rc, rb, eig, u, ui, pi, rates,
+                   steps: int, chunk: int, lr: float = 0.03):
+    import optax
+
+    opt = optax.adam(lr)
+    margs = (eig, u, ui, pi, rates)
+
+    def one_nll(theta, children, w):
+        return -loglik_weighted(codes, children, _softplus(theta), *margs,
+                                w, chunk=chunk, remat=True)
+
+    nll = jax.vmap(one_nll, in_axes=(0, 0, 0))
+
+    def total(theta):
+        return nll(theta, rc, rw).sum()
+
+    theta0 = _inv_softplus(rb)
+    state0 = opt.init(theta0)
+
+    def body(carry, _):
+        theta, state = carry
+        g = jax.grad(total)(theta)
+        updates, state = opt.update(g, state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return (theta, state), None
+
+    (theta, _), _ = jax.lax.scan(body, (theta0, state0), None,
+                                 length=steps)
+    ll = -nll(theta, rc, rw)
+    return _softplus(theta), ll
+
+
 def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
                             rep_children: np.ndarray,
                             rep_blen: np.ndarray, model: WagModel,
                             steps: int = 60, lr: float = 0.03):
     """Jackknife fan-out: optimize branch lengths of R replicates (each
     its own topology + site-weight mask) in parallel, replicates sharded
-    over the 'rep' mesh axis and sites over the 'site' axis.
+    over the 'rep' mesh axis and sites over the 'site' axis.  The nll is
+    site-chunk-scanned with rematerialization (loglik_weighted), so the
+    whole replicate batch fits in HBM at golden-run alignment lengths.
 
     Returns (blen (R, n_nodes), ll (R,)).
     """
-    import optax
-
     R = rep_weights.shape[0]
+    L = rep_weights.shape[1]
     n_rep = mesh.shape["rep"]
     n_site = mesh.shape["site"]
+    chunk = _rep_chunk(R, L)
+    site_mult = n_site * chunk
+
     # pad replicate axis
     def pad_r(a):
         pad = (-a.shape[0]) % n_rep
@@ -104,10 +202,11 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
             a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
         return a
 
-    rw = pad_r(_pad_sites(np.asarray(rep_weights, np.float32), n_site, 1))
+    rw = pad_r(_pad_sites(np.asarray(rep_weights, np.float32),
+                          site_mult, 1))
     rc = pad_r(np.asarray(rep_children, np.int32))
     rb = pad_r(np.asarray(rep_blen, np.float32))
-    codes_p = _pad_sites(np.asarray(codes, np.int8), n_site, 1, fill=24)
+    codes_p = _pad_sites(np.asarray(codes, np.int8), site_mult, 1, fill=24)
 
     codes_s = jax.device_put(codes_p, NamedSharding(mesh, P(None, "site")))
     rw_s = jax.device_put(rw, NamedSharding(mesh, P("rep", "site")))
@@ -116,41 +215,6 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
 
     margs = tuple(jnp.asarray(x) for x in
                   (model.eig, model.u, model.u_inv, model.pi, model.rates))
-
-    def softplus(x):
-        return jnp.logaddexp(x, 0.0)
-
-    def inv_softplus(y):
-        y = jnp.maximum(y, 1e-6)
-        return jnp.where(y > 20, y, jnp.log(jnp.expm1(y)))
-
-    @jax.jit
-    def run(codes, rw, rc, rb):
-        opt = optax.adam(lr)
-
-        def one_nll(theta, children, w):
-            ll = loglik_sites(codes, children, softplus(theta), *margs)
-            return -(ll * w).sum()
-
-        nll = jax.vmap(one_nll, in_axes=(0, 0, 0))
-
-        def total(theta):
-            return nll(theta, rc, rw).sum()
-
-        theta0 = inv_softplus(rb)
-        state0 = opt.init(theta0)
-
-        def body(carry, _):
-            theta, state = carry
-            g = jax.grad(total)(theta)
-            updates, state = opt.update(g, state, theta)
-            theta = optax.apply_updates(theta, updates)
-            return (theta, state), None
-
-        (theta, _), _ = jax.lax.scan(body, (theta0, state0), None,
-                                     length=steps)
-        ll = -nll(theta, rc, rw)
-        return softplus(theta), ll
-
-    blen, ll = run(codes_s, rw_s, rc_s, rb_s)
+    blen, ll = _rep_blopt_jit(codes_s, rw_s, rc_s, rb_s, *margs,
+                              steps=steps, chunk=chunk, lr=lr)
     return np.asarray(blen)[:R], np.asarray(ll)[:R]

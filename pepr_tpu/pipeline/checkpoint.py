@@ -12,15 +12,66 @@ deterministic), and each refinement round.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
 import time
 
+# Bump when a kernel/stage changes in a way that makes previously
+# checkpointed intermediate results semantically stale (e.g. SW scoring
+# changes, different clustering).  Part of every store fingerprint.
+CKPT_VERSION = 2
+
+
+def config_fingerprint(*objs) -> str:
+    """Stable fingerprint of run configuration: CKPT_VERSION plus the
+    repr of each config object (dataclass reprs list every field)."""
+    h = hashlib.sha256()
+    h.update(f"v{CKPT_VERSION}".encode())
+    for o in objs:
+        h.update(repr(o).encode())
+    return h.hexdigest()[:16]
+
+
+class FingerprintMismatch(RuntimeError):
+    pass
+
 
 class CheckpointStore:
-    def __init__(self, root: str):
+    """Pickle-per-key store.
+
+    With a `fingerprint` (hash of code version + run config), the store
+    refuses to resume from state written under a different fingerprint
+    — a silent resume from stale state could report results computed by
+    old code/params.  Pre-fingerprint stores are adopted (stamped) on
+    first open; pass on_mismatch="clear" to wipe stale state instead of
+    raising.
+    """
+
+    def __init__(self, root: str, fingerprint: str | None = None,
+                 on_mismatch: str = "raise"):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        if fingerprint is not None:
+            fp_path = os.path.join(root, "_fingerprint.txt")
+            existing = None
+            if os.path.exists(fp_path):
+                with open(fp_path) as fh:
+                    existing = fh.read().strip()
+            if existing is not None and existing != fingerprint:
+                if on_mismatch == "clear":
+                    for name in os.listdir(root):
+                        if name.endswith(".pkl") or name.endswith(".tmp"):
+                            os.unlink(os.path.join(root, name))
+                else:
+                    raise FingerprintMismatch(
+                        f"checkpoint dir {root} was written under "
+                        f"fingerprint {existing}, current is {fingerprint}; "
+                        "delete the directory (or pass on_mismatch='clear') "
+                        "to recompute")
+            if existing != fingerprint:
+                with open(fp_path, "w") as fh:
+                    fh.write(fingerprint)
 
     def _path(self, key: str) -> str:
         return os.path.join(self.root, key + ".pkl")

@@ -89,7 +89,16 @@ def run_pepr(cfg: PeprConfig,
 
     store = None
     if cfg.checkpoint_dir is not None:
-        store = CheckpointStore(cfg.checkpoint_dir)
+        from pepr_tpu.pipeline.checkpoint import config_fingerprint
+        # everything that affects checkpointed results — NOT the
+        # per-slice knobs (time_budget, out_dir, checkpoint_dir)
+        fp = config_fingerprint(
+            cfg.stage1, cfg.stage2, cfg.outgroup_count,
+            cfg.min_taxa_multiplier, cfg.min_taxa, cfg.max_taxa,
+            cfg.target_sets,
+            [os.path.basename(p) for p in cfg.genome_files],
+            [os.path.basename(p) for p in cfg.outgroup_files])
+        store = CheckpointStore(cfg.checkpoint_dir, fingerprint=fp)
     deadline = Deadline(cfg.time_budget)
 
     if genomes is None:
@@ -135,6 +144,7 @@ def run_pepr(cfg: PeprConfig,
     rec["aligned_positions"] = s2.concat.length
     rec["tree_method"] = s2cfg.full_tree_method
     rec["support_method"] = s2cfg.support_method
+    rec["gamma_alpha"] = s2.gamma_alpha
     rec["tree"] = to_newick(s2.tree)
 
     rooted = root_by_outgroup(s2.tree, s1.selected_outgroups) \

@@ -79,6 +79,9 @@ class RunTracker:
                          '</tree_method>')
             lines.append('    <support_method>'
                          f'{escape(rec["support_method"])}</support_method>')
+            if rec.get("gamma_alpha") is not None:
+                lines.append('    <gamma_alpha>'
+                             f'{rec["gamma_alpha"]:.4f}</gamma_alpha>')
             for phase, secs in rec["wall_seconds"].items():
                 lines.append(f'    <timing phase="{escape(phase)}" '
                              f'seconds="{secs:.2f}"/>')

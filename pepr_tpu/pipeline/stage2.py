@@ -38,6 +38,10 @@ class Stage2Config:
     support_reps: int = 100
     jackknife_fraction: float = 0.5
     gamma_alpha: float = 1.0
+    # ML estimate of the Gamma shape on the NJ starting topology before
+    # tree search (RAxML optimizes alpha inside -f d/-f e,
+    # RAxMLRunner.java:79-280); gamma_alpha is the fallback/fixed value
+    estimate_alpha: bool = True
     nni_rounds: int = 8
     bl_steps: int = 200
     seed: int = 12345
@@ -51,6 +55,7 @@ class Stage2Result:
     concat: ConcatenatedAlignment
     alignments: list[Alignment]
     log_likelihood: float | None = None
+    gamma_alpha: float = 1.0
     timings: dict = field(default_factory=dict)
 
     @property
@@ -141,7 +146,25 @@ def run_stage2(sets: list[SequenceSet],
     log.info("stage2: concatenated %d genes, %d columns", cat.n_genes,
              cat.length)
 
-    model = WagModel.create(alpha=cfg.gamma_alpha)
+    alpha = cfg.gamma_alpha
+    if cfg.estimate_alpha and cfg.full_tree_method not in ("nj",):
+        from pepr_tpu.models.treebuild import (estimate_gamma_alpha,
+                                               nj_start_tree)
+        t0 = time.time()
+
+        def _alpha():
+            start = nj_start_tree(cat.mat, cat.taxa)
+            return estimate_gamma_alpha(cat.mat, cat.taxa, start)
+
+        alpha = store.cached("gamma_alpha", _alpha) if store is not None \
+            else _alpha()
+        timings["alpha_estimate"] = time.time() - t0
+        log.info("stage2: gamma alpha = %.3f (%.1fs)", alpha,
+                 timings["alpha_estimate"])
+        if deadline is not None and deadline.expired:
+            raise Incomplete("alpha estimation")
+
+    model = WagModel.create(alpha=alpha)
     t0 = time.time()
 
     def _full_tree():
@@ -187,4 +210,5 @@ def run_stage2(sets: list[SequenceSet],
              timings["support_trees"])
 
     dec = decorated_tree(full, reps)
-    return Stage2Result(dec, full, reps, cat, alignments, ll, timings)
+    return Stage2Result(dec, full, reps, cat, alignments, ll, alpha,
+                        timings)
