@@ -55,7 +55,13 @@ def bench_likelihood(n_taxa=16, L=131072, iters=8):
             jnp.asarray(arr.blen), jnp.asarray(model.eig),
             jnp.asarray(model.u), jnp.asarray(model.u_inv),
             jnp.asarray(model.pi), jnp.asarray(model.rates))
-    f = jax.jit(lambda *a: loglik_sites(*a).sum())
+    # the PRODUCTION forward path: Pallas site-tiled kernel on TPU
+    # (all node partials VMEM-resident per site block), XLA scan on CPU
+    from pepr_tpu.ops.likelihood import forward_impl, loglik_sites_pallas
+    site_fn = loglik_sites_pallas if forward_impl() == "pallas" \
+        else loglik_sites
+    print(f"likelihood impl: {forward_impl()}", file=sys.stderr)
+    f = jax.jit(lambda *a: site_fn(*a).sum())
     # NOTE: on the remote (tunneled) backend block_until_ready is not
     # a reliable fence; force materialization to time honestly.
     np.asarray(f(*args))  # compile

@@ -73,18 +73,18 @@ def _profile(mat: np.ndarray) -> np.ndarray:
 
 def _merge(a: _Cluster, b: _Cluster, moves: list[tuple[int, int]]) -> _Cluster:
     La, Lb = a.mat.shape[1], b.mat.shape[1]
-    cols = len(moves)
-    out = np.full((len(a.rows) + len(b.rows), cols), GAP, dtype=np.int8)
-    ia = ib = 0
+    mv = np.asarray(moves, dtype=np.int64).reshape(-1, 2)
+    cols = mv.shape[0]
     na = len(a.rows)
-    for c, (di, dj) in enumerate(moves):
-        if di:
-            out[:na, c] = a.mat[:, ia]
-            ia += 1
-        if dj:
-            out[na:, c] = b.mat[:, ib]
-            ib += 1
-    assert ia == La and ib == Lb, (ia, La, ib, Lb)
+    out = np.full((na + len(b.rows), cols), GAP, dtype=np.int8)
+    ia = np.cumsum(mv[:, 0]) - 1
+    ib = np.cumsum(mv[:, 1]) - 1
+    ca = mv[:, 0] == 1
+    cb = mv[:, 1] == 1
+    out[:na, ca] = a.mat[:, ia[ca]]
+    out[na:, cb] = b.mat[:, ib[cb]]
+    if not (ca.sum() == La and cb.sum() == Lb):
+        raise ValueError(f"bad path: {ca.sum()}/{La} {cb.sum()}/{Lb}")
     return _Cluster(a.rows + b.rows, out)
 
 
@@ -153,6 +153,32 @@ def align_families(families: list[list[np.ndarray]], *,
         buckets: dict[tuple[int, int], list[int]] = {}
         for k, (pa, pb) in enumerate(zip(profs1, profs2)):
             buckets.setdefault((pl(pa), pl(pb)), []).append(k)
+
+        # transfer discipline for the TPU tunnel: ship profiles bf16,
+        # fetch pointers 2-cells-per-byte, keep a bounded window of
+        # device calls in flight so host tracebacks overlap device DP
+        import ml_dtypes
+        from pepr_tpu.ops.profile_align import unpack_ptrs
+        from pepr_tpu.utils.dispatch import BoundedDispatch
+        dq = BoundedDispatch(window=4)
+
+        def _consume(items):
+            for (chunk, L1, l1v, l2v), (score, pk) in items:
+                ptrs = unpack_ptrs(np.asarray(pk), L1 + 1)
+                done: set[int] = set()
+                for bi, k in enumerate(chunk):
+                    if k in done:  # batch padding duplicates
+                        continue
+                    done.add(k)
+                    fi, ci, cj, a, b = jobs[k]
+                    moves = traceback(ptrs[bi], int(l1v[bi]), int(l2v[bi]))
+                    st = states[fi]
+                    merged = _merge(a, b, moves)
+                    del st["clusters"][ci], st["clusters"][cj]
+                    new_id = len(families[fi]) + st["next"]
+                    st["clusters"][new_id] = merged
+                    st["next"] += 1
+
         for (L1, L2), idxs in sorted(buckets.items()):
             for s0 in range(0, len(idxs), batch_size):
                 chunk = idxs[s0:s0 + batch_size]
@@ -163,26 +189,14 @@ def align_families(families: list[list[np.ndarray]], *,
                                        length_multiple)
                 p2, l2 = _pad_profiles([profs2[k] for k in chunk],
                                        length_multiple)
-                p1 = _fit(p1, L1)
-                p2 = _fit(p2, L2)
-                score, ptrs = nw_profile_batch(
+                p1 = _fit(p1, L1).astype(ml_dtypes.bfloat16)
+                p2 = _fit(p2, L2).astype(ml_dtypes.bfloat16)
+                res = nw_profile_batch(
                     jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(l1),
                     jnp.asarray(l2), gap_open=gap_open,
-                    gap_extend=gap_extend)
-                ptrs = np.asarray(ptrs)
-                done: set[int] = set()
-                for bi, k in enumerate(chunk):
-                    if k in done:  # batch padding duplicates
-                        continue
-                    done.add(k)
-                    fi, ci, cj, a, b = jobs[k]
-                    moves = traceback(ptrs[bi], int(l1[bi]), int(l2[bi]))
-                    st = states[fi]
-                    merged = _merge(a, b, moves)
-                    del st["clusters"][ci], st["clusters"][cj]
-                    new_id = len(families[fi]) + st["next"]
-                    st["clusters"][new_id] = merged
-                    st["next"] += 1
+                    gap_extend=gap_extend, packed=True)
+                _consume(dq.submit((chunk, L1, l1, l2), res))
+        _consume(dq.drain())
 
     out: list[np.ndarray] = []
     for fi, st in enumerate(states):

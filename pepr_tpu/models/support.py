@@ -241,10 +241,12 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
             n_real = len(cb)
             while len(cb) < pad_to:
                 cb, bb, wb = cb + [cb[-1]], bb + [bb[-1]], wb + [wb[-1]]
+            from pepr_tpu.ops.likelihood import forward_impl
             s = _score_topologies_w(
                 codes_d, jnp.asarray(np.stack(cb)),
                 jnp.asarray(np.stack(bb)), *margs,
-                jnp.asarray(np.stack(wb)), chunk=site_chunk)
+                jnp.asarray(np.stack(wb)), chunk=site_chunk,
+                impl=forward_impl())
             scores[c0:c0 + n_real] = np.asarray(s)[:n_real]
         # accept per replicate: all improving non-conflicting moves
         cand_rep = np.array(cand_rep)

@@ -235,23 +235,26 @@ def _spr_candidates(children: np.ndarray, n_leaves: int
     return cands
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "impl"))
 def _score_topologies(codes, children_batch, blen_batch, eig, u, ui, pi,
-                      rates, weights, chunk: int = 4096):
+                      rates, weights, chunk: int = 4096,
+                      impl: str = "scan"):
     """Score a batch of candidate topologies (each with its own branch
-    lengths) in one compiled call."""
+    lengths) in one compiled call (Pallas forward kernel on TPU)."""
 
     def one(args):
         children, blen = args
         return loglik_weighted(codes, children, blen, eig, u, ui, pi,
-                               rates, weights, chunk=chunk, remat=False)
+                               rates, weights, chunk=chunk, remat=False,
+                               impl=impl)
 
     return jax.lax.map(one, (children_batch, blen_batch))
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "impl"))
 def _score_topologies_w(codes, children_batch, blen_batch, eig, u, ui, pi,
-                        rates, weights_batch, chunk: int = 4096):
+                        rates, weights_batch, chunk: int = 4096,
+                        impl: str = "scan"):
     """Like _score_topologies but with per-candidate site weights —
     the batched-replicate NNI scorer (each candidate belongs to a
     different jackknife replicate, so it carries its own mask)."""
@@ -259,7 +262,8 @@ def _score_topologies_w(codes, children_batch, blen_batch, eig, u, ui, pi,
     def one(args):
         children, blen, w = args
         return loglik_weighted(codes, children, blen, eig, u, ui, pi,
-                               rates, w, chunk=chunk, remat=False)
+                               rates, w, chunk=chunk, remat=False,
+                               impl=impl)
 
     return jax.lax.map(one, (children_batch, blen_batch, weights_batch))
 
@@ -334,9 +338,10 @@ def _score_candidate_arrays(codes_d, w_d, margs, site_chunk: int,
         while len(cb) < pad_to:  # keep one compiled shape
             cb = cb + [cb[-1]]
             bb = bb + [bb[-1]]
+        from pepr_tpu.ops.likelihood import forward_impl
         s = _score_topologies(codes_d, jnp.asarray(np.stack(cb)),
                               jnp.asarray(np.stack(bb)), *margs, w_d,
-                              chunk=site_chunk)
+                              chunk=site_chunk, impl=forward_impl())
         scores.extend(float(x) for x in np.asarray(s)[:n_real])
     return np.array(scores)
 

@@ -87,10 +87,13 @@ def per_site_log_likelihoods(trees: list[Tree], mat: np.ndarray,
              jnp.asarray(model.u_inv), jnp.asarray(model.pi),
              jnp.asarray(model.rates))
     codes = jnp.asarray(np.asarray(mat, np.int8))
+    from pepr_tpu.ops.likelihood import forward_impl, loglik_sites_pallas
+    site_fn = loglik_sites_pallas if forward_impl() == "pallas" \
+        else loglik_sites
     for t in trees:
         arr = tree_to_arrays(t, taxa)
-        ll = loglik_sites(codes, jnp.asarray(arr.children),
-                          jnp.asarray(arr.blen), *margs)
+        ll = site_fn(codes, jnp.asarray(arr.children),
+                     jnp.asarray(arr.blen), *margs)
         out.append(np.asarray(ll))
     return np.stack(out)
 

@@ -28,6 +28,7 @@ ignored).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -136,18 +137,71 @@ def _norm_chunk(L: int, chunk: int) -> int:
     return max(int(c), 128)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "remat"))
+# Forward-path implementation dispatch: the Pallas site-tiled kernel
+# (ops/pallas_pruning.py) keeps every node's partials in VMEM for a
+# block of sites — the speed-of-light layout — but has no VJP, so
+# gradient paths (branch-length optimization) always use the XLA scan.
+# Tests can pin the implementation via PEPR_LIKELIHOOD_IMPL=scan|pallas.
+def forward_impl() -> str:
+    impl = os.environ.get("PEPR_LIKELIHOOD_IMPL")
+    if impl in ("scan", "pallas"):
+        return impl
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return "scan"
+    return "pallas" if platform in ("tpu", "axon") else "scan"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def loglik_sites_pallas(codes: jax.Array, children: jax.Array,
+                        blen: jax.Array, eig, u, u_inv, pi, rates,
+                        interpret: bool = False) -> jax.Array:
+    """Per-site log-likelihood via the Pallas site-tiled kernel (same
+    signature/semantics as loglik_sites)."""
+    from pepr_tpu.alphabet import PAD
+    from pepr_tpu.ops.pallas_pruning import (A_PAD, S_TILE,
+                                             pruning_site_ll_pallas)
+
+    n_leaves, L = codes.shape
+    Lp = -(-L // S_TILE) * S_TILE
+    codes_p = codes if Lp == L else \
+        jnp.pad(codes, ((0, 0), (0, Lp - L)), constant_values=PAD)
+    t = jnp.maximum(blen, 1e-9)
+    ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
+                 * t[None, :, None])
+    pm = jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv)  # (C, V, 20, 20)
+    C, V = pm.shape[:2]
+    pmp = jnp.zeros((C, V, A_PAD, A_PAD), jnp.float32)
+    pmp = pmp.at[:, :, :N_AA, :N_AA].set(pm)
+    pip = jnp.zeros((1, A_PAD), jnp.float32).at[0, :N_AA].set(pi)
+    ll = pruning_site_ll_pallas(codes_p, children.astype(jnp.int32),
+                                pmp, pip, interpret=interpret)
+    return ll[:L]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "remat", "impl"))
 def loglik_weighted(codes: jax.Array, children: jax.Array, blen: jax.Array,
                     eig, u, u_inv, pi, rates, weights: jax.Array,
-                    chunk: int = 4096, remat: bool = True) -> jax.Array:
+                    chunk: int = 4096, remat: bool = True,
+                    impl: str = "scan") -> jax.Array:
     """Total weighted log-likelihood with the site axis processed in
     `chunk`-column slices via lax.scan, so live memory is ONE chunk's
     (n_nodes, C, chunk, 20) partials buffer instead of the full-L one.
     With `remat` the chunk forward is rematerialized in the backward
     pass (jax.checkpoint), bounding gradient memory the same way —
     this is what lets branch-length optimization run at golden-run
-    alignment lengths (and many replicates vmapped) without OOM."""
+    alignment lengths (and many replicates vmapped) without OOM.
+
+    `impl="pallas"` (forward-only paths on TPU; see forward_impl)
+    skips the chunk scan entirely: the Pallas kernel tiles the site
+    axis itself with all partials VMEM-resident."""
     from pepr_tpu.alphabet import PAD
+
+    if impl == "pallas":
+        ll = loglik_sites_pallas(codes, children, blen, eig, u, u_inv,
+                                 pi, rates)
+        return (ll * weights).sum()
 
     n_leaves, L = codes.shape
     Lp = -(-L // chunk) * chunk
@@ -181,7 +235,7 @@ def loglik(codes, children, blen, model: WagModel,
         jnp.asarray(model.eig), jnp.asarray(model.u),
         jnp.asarray(model.u_inv), jnp.asarray(model.pi),
         jnp.asarray(model.rates), w, chunk=_norm_chunk(L, chunk),
-        remat=False)
+        remat=False, impl=forward_impl())
 
 
 # -- Tree <-> kernel array conversion -------------------------------------

@@ -34,24 +34,29 @@ def blosum_core(dtype=np.float32) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend",
-                                             "term_scale"))
+                                             "term_scale", "packed"))
 def nw_profile_batch(p1: jax.Array, p2: jax.Array, l1: jax.Array,
                      l2: jax.Array, gap_open: float = 11.0,
                      gap_extend: float = 1.0,
-                     term_scale: float = 0.5):
+                     term_scale: float = 0.5, packed: bool = False):
     """Global affine alignment of profile pairs.
 
     Args:
-      p1: (B, L1, 20) float32 query profiles (frequency columns,
-          zero-padded past l1).
-      p2: (B, L2, 20) float32.
+      p1: (B, L1, 20) float32/bfloat16 query profiles (frequency
+          columns, zero-padded past l1; bf16 halves host->device bytes
+          over the TPU tunnel, MXU contractions accumulate in f32).
+      p2: (B, L2, 20) float32/bfloat16.
       l1, l2: (B,) int32 true lengths.
       term_scale: terminal gaps cost `term_scale` * normal (muscle-like
           soft terminal gap handling).
+      packed: return pointers packed two cells per byte along the row
+          axis (pointer values use 4 bits) — halves the device->host
+          traceback transfer; unpack with `unpack_ptrs`.
 
     Returns:
       score: (B,) float32 at cell (l1, l2)
-      ptr: (B, L1+L2+1, L1+1) uint8 packed pointers (diag k, row i)
+      ptr: (B, L1+L2+1, L1+1) uint8 pointers (diag k, row i), or
+          (B, L1+L2+1, ceil((L1+1)/2)) when `packed`
     """
     B, L1, A = p1.shape
     L2 = p2.shape[1]
@@ -62,7 +67,8 @@ def nw_profile_batch(p1: jax.Array, p2: jax.Array, l1: jax.Array,
     core = jnp.asarray(blosum_core())
 
     # (B, 20, L2) substitution-transformed profile 2
-    p2b = jnp.einsum("ab,njb->naj", core, p2)
+    p2b = jnp.einsum("ab,njb->naj", core, p2,
+                     preferred_element_type=jnp.float32)
     # reversed + padded along j so diagonal slices are contiguous:
     # for diag k, want p2b[:, :, (k-1) - i] for i = 0..L1 (cell (i+?,..))
     pad = jnp.zeros((B, A, R1), p2b.dtype)
@@ -88,7 +94,8 @@ def nw_profile_batch(p1: jax.Array, p2: jax.Array, l1: jax.Array,
         # we need row i paired with p1 row i-1 -> shift p1 by one.
         p1_shift = jnp.concatenate(
             [jnp.zeros((B, 1, A), p1.dtype), p1[:, : L1, :]], axis=1)
-        s = jnp.einsum("nia,nai->ni", p1_shift, sl)
+        s = jnp.einsum("nia,nai->ni", p1_shift, sl,
+                       preferred_element_type=jnp.float32)
 
         def sh(x, fill):
             return jnp.concatenate(
@@ -148,7 +155,21 @@ def nw_profile_batch(p1: jax.Array, p2: jax.Array, l1: jax.Array,
     (_, _, _, _, score), ptrs = jax.lax.scan(
         step, init, jnp.arange(L1 + L2 + 1))
     ptrs = jnp.transpose(ptrs, (1, 0, 2))  # (B, diag, R1)
+    if packed:
+        if R1 % 2:
+            ptrs = jnp.pad(ptrs, ((0, 0), (0, 0), (0, 1)))
+        ptrs = ptrs[:, :, 0::2] | (ptrs[:, :, 1::2] << 4)
     return score, ptrs
+
+
+def unpack_ptrs(packed: np.ndarray, R1: int) -> np.ndarray:
+    """Host-side inverse of `packed=True`: (B, D, ceil(R1/2)) uint8 ->
+    (B, D, R1)."""
+    B, D, H = packed.shape
+    out = np.empty((B, D, 2 * H), np.uint8)
+    out[:, :, 0::2] = packed & 0xF
+    out[:, :, 1::2] = packed >> 4
+    return out[:, :, :R1]
 
 
 def traceback(ptr: np.ndarray, l1: int, l2: int) -> list[tuple[int, int]]:

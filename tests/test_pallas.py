@@ -56,3 +56,35 @@ def test_pallas_nonmultiple_length(problem):
     want = float(loglik(jnp.asarray(codes), jnp.asarray(arr.children),
                         jnp.asarray(arr.blen), model))
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_loglik_sites_pallas_dispatch_matches(problem):
+    """The production dispatch entry (loglik_sites_pallas) matches the
+    scan engine in interpret mode, including the einsum-built padded
+    transition matrices."""
+    from pepr_tpu.ops.likelihood import loglik_sites, loglik_sites_pallas
+
+    codes, arr = problem
+    model = WagModel.create(alpha=1.3)
+    margs = (jnp.asarray(model.eig), jnp.asarray(model.u),
+             jnp.asarray(model.u_inv), jnp.asarray(model.pi),
+             jnp.asarray(model.rates))
+    want = np.asarray(loglik_sites(jnp.asarray(codes),
+                                   jnp.asarray(arr.children),
+                                   jnp.asarray(arr.blen), *margs))
+    got = np.asarray(loglik_sites_pallas(jnp.asarray(codes),
+                                         jnp.asarray(arr.children),
+                                         jnp.asarray(arr.blen), *margs,
+                                         interpret=True))
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_impl_env_pin(monkeypatch):
+    from pepr_tpu.ops import likelihood
+
+    monkeypatch.setenv("PEPR_LIKELIHOOD_IMPL", "pallas")
+    assert likelihood.forward_impl() == "pallas"
+    monkeypatch.setenv("PEPR_LIKELIHOOD_IMPL", "scan")
+    assert likelihood.forward_impl() == "scan"
+    monkeypatch.delenv("PEPR_LIKELIHOOD_IMPL")
+    assert likelihood.forward_impl() in ("scan", "pallas")
