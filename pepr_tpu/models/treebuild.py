@@ -523,6 +523,46 @@ def estimate_gamma_alpha(mat: np.ndarray, taxa: list[str], tree: Tree, *,
     return float((a + b) / 2)
 
 
+def empirical_aa_freqs(mat: np.ndarray) -> np.ndarray:
+    """Observed residue frequencies (the RAxML '...F' convention)."""
+    counts = np.bincount(
+        np.asarray(mat[mat < N_AA], np.int64), minlength=N_AA
+    ).astype(np.float64)
+    counts += 1.0
+    return counts / counts.sum()
+
+
+def evaluate_substitution_models(mat: np.ndarray, taxa: list[str],
+                                 names: list[str] | None = None, *,
+                                 alpha: float = 1.0,
+                                 bl_steps: int = 120
+                                 ) -> tuple[str, dict[str, float]]:
+    """Matrix evaluation (PhylogenomicPipeline2.java:252-295,
+    1390-1451): build one parsimony tree, then score it under every
+    candidate substitution model (branch lengths re-optimized per
+    model, the `-f e` role) and return (best model name, scores)."""
+    import logging
+
+    from pepr_tpu.data.protein_models import model_names
+
+    log = logging.getLogger("pepr_tpu")
+    if names is None:
+        names = model_names()
+    tree, _ = parsimony_tree(mat, taxa, nni_rounds=4)
+    arr = tree_to_arrays(tree, taxa)
+    emp = empirical_aa_freqs(mat)
+    scores: dict[str, float] = {}
+    for name in names:
+        model = WagModel.named(name, alpha=alpha, empirical_freqs=emp)
+        _, ll = optimize_branch_lengths(np.asarray(mat, np.int8), arr,
+                                        model, steps=bl_steps)
+        scores[name] = ll
+        log.info("matrix evaluation: %s LL=%.2f", name, ll)
+    best = max(scores, key=scores.get)
+    log.info("matrix evaluation: preferred matrix is %s", best)
+    return best, scores
+
+
 def parsimony_tree(mat: np.ndarray, taxa: list[str], *,
                    site_weights: np.ndarray | None = None,
                    branch_lengths: bool = False,

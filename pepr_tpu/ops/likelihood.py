@@ -56,6 +56,20 @@ class WagModel:
                    u_inv.astype(np.float32), WAG_FREQS.astype(np.float32),
                    discrete_gamma_rates(alpha, n_cats).astype(np.float32))
 
+    @classmethod
+    def named(cls, name: str, alpha: float = 1.0, n_cats: int = 4,
+              empirical_freqs: np.ndarray | None = None) -> "WagModel":
+        """Any registered substitution model (data/protein_models.py),
+        '...F' variants taking the alignment's empirical frequencies —
+        the matrix-evaluation machinery's constructor
+        (PhylogenomicPipeline2.java:1390-1451 role)."""
+        from pepr_tpu.data.protein_models import eigensystem, resolve_model
+        rates, pi = resolve_model(name, empirical_freqs)
+        eig, u, u_inv = eigensystem(rates, pi)
+        return cls(eig.astype(np.float32), u.astype(np.float32),
+                   u_inv.astype(np.float32), pi.astype(np.float32),
+                   discrete_gamma_rates(alpha, n_cats).astype(np.float32))
+
 
 def tips_to_partials(codes: jax.Array) -> jax.Array:
     """(n_leaves, L) int8 -> (n_leaves, L, 20) tip partials; ambiguity

@@ -145,6 +145,7 @@ def run_pepr(cfg: PeprConfig,
     rec["tree_method"] = s2cfg.full_tree_method
     rec["support_method"] = s2cfg.support_method
     rec["gamma_alpha"] = s2.gamma_alpha
+    rec["substitution_model"] = s2.model_name
     rec["tree"] = to_newick(s2.tree)
 
     rooted = root_by_outgroup(s2.tree, s1.selected_outgroups) \

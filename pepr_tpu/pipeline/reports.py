@@ -82,6 +82,10 @@ class RunTracker:
             if rec.get("gamma_alpha") is not None:
                 lines.append('    <gamma_alpha>'
                              f'{rec["gamma_alpha"]:.4f}</gamma_alpha>')
+            if rec.get("substitution_model"):
+                lines.append('    <substitution_model>'
+                             f'{escape(rec["substitution_model"])}'
+                             '</substitution_model>')
             for phase, secs in rec["wall_seconds"].items():
                 lines.append(f'    <timing phase="{escape(phase)}" '
                              f'seconds="{secs:.2f}"/>')

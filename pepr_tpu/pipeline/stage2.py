@@ -42,6 +42,11 @@ class Stage2Config:
     # tree search (RAxML optimizes alpha inside -f d/-f e,
     # RAxMLRunner.java:79-280); gamma_alpha is the fallback/fixed value
     estimate_alpha: bool = True
+    # matrix evaluation (PhylogenomicPipeline2.java:252-295): score a
+    # parsimony tree under candidate substitution models, use the best
+    # for the full tree + supports.  False (reference default), True
+    # (registered model list), or an explicit list of model names.
+    matrix_evaluation: bool | list = False
     nni_rounds: int = 8
     bl_steps: int = 200
     seed: int = 12345
@@ -56,6 +61,7 @@ class Stage2Result:
     alignments: list[Alignment]
     log_likelihood: float | None = None
     gamma_alpha: float = 1.0
+    model_name: str = "WAG"
     timings: dict = field(default_factory=dict)
 
     @property
@@ -164,7 +170,31 @@ def run_stage2(sets: list[SequenceSet],
         if deadline is not None and deadline.expired:
             raise Incomplete("alpha estimation")
 
-    model = WagModel.create(alpha=alpha)
+    model_name = "WAG"
+    if cfg.matrix_evaluation:
+        from pepr_tpu.models.treebuild import evaluate_substitution_models
+        t0 = time.time()
+        names = cfg.matrix_evaluation \
+            if isinstance(cfg.matrix_evaluation, list) else None
+
+        def _matrix_eval():
+            return evaluate_substitution_models(cat.mat, cat.taxa, names,
+                                                alpha=alpha)
+
+        model_name, _scores = store.cached("matrix_eval", _matrix_eval) \
+            if store is not None else _matrix_eval()
+        timings["matrix_evaluation"] = time.time() - t0
+        log.info("stage2: matrix evaluation chose %s (%.1fs)",
+                 model_name, timings["matrix_evaluation"])
+        if deadline is not None and deadline.expired:
+            raise Incomplete("matrix evaluation")
+
+    if model_name == "WAG":
+        model = WagModel.create(alpha=alpha)
+    else:
+        from pepr_tpu.models.treebuild import empirical_aa_freqs
+        model = WagModel.named(model_name, alpha=alpha,
+                               empirical_freqs=empirical_aa_freqs(cat.mat))
     t0 = time.time()
 
     def _full_tree():
@@ -211,4 +241,4 @@ def run_stage2(sets: list[SequenceSet],
 
     dec = decorated_tree(full, reps)
     return Stage2Result(dec, full, reps, cat, alignments, ll, alpha,
-                        timings)
+                        model_name, timings)
