@@ -140,3 +140,78 @@ def conflict_cost(bip: int, counts: dict[int, int], full: int) -> float:
         return 0.0
     bad = sum(c for b, c in counts.items() if not compatible(bip, b, full))
     return bad / total
+
+
+def bipartition_supports(counts: dict[int, int],
+                         full: int) -> dict[int, float]:
+    """Direct support per bipartition: count / (count + total count of
+    incompatible bipartitions) (BipartitionSet.java:560-605)."""
+    bips = list(counts)
+    out: dict[int, float] = {}
+    for b in bips:
+        bad = sum(counts[c] for c in bips
+                  if c != b and not compatible(b, c, full))
+        out[b] = counts[b] / (counts[b] + bad)
+    return out
+
+
+def select_compatible(counts: dict[int, int], full: int,
+                      support_cutoff: float = 0.5) -> list[int]:
+    """Greedy mutually-compatible subset selection
+    (BipartitionSet.findCompatibleBipartitionSet, :356-512): first drop
+    every bipartition conflicting with one whose direct support exceeds
+    `support_cutoff`, then repeatedly drop the lowest-support member
+    until the survivors are mutually compatible.  Returns the selected
+    bipartitions sorted by descending count."""
+    bips = list(counts)
+    sup = bipartition_supports(counts, full)
+    retained = set(bips)
+    for b in bips:
+        if sup[b] > support_cutoff:
+            for c in bips:
+                if not compatible(b, c, full):
+                    retained.discard(c)
+    cur = sorted(retained, key=lambda b: -counts[b])
+    while True:
+        worst, worst_sup = None, 1.0
+        for b in cur:
+            bad = sum(counts[c] for c in cur
+                      if c != b and not compatible(b, c, full))
+            s = counts[b] / (counts[b] + bad)
+            if s < worst_sup:
+                worst, worst_sup = b, s
+        if worst is None:
+            break  # mutually compatible
+        cur.remove(worst)
+    return cur
+
+
+def bipartitions_as_matrix(bips: list[int], taxa: list[str],
+                           participating: dict[int, int] | None = None
+                           ) -> list[str]:
+    """0/1/? character matrix: one row per taxon, one column per
+    bipartition — '1' if the taxon is on the bipartition's smaller
+    side, '0' if it participates on the other side, '?' if it does not
+    participate (BipartitionSet.getBipartitionsAsSequenceAlignment,
+    :229-267).  `participating` maps bipartition -> participating-taxon
+    mask (defaults to all taxa)."""
+    n = len(taxa)
+    full = (1 << n) - 1
+    rows = []
+    for i in range(n):
+        bit = 1 << i
+        chars = []
+        for b in bips:
+            part = full if participating is None else \
+                participating.get(b, full)
+            size = bin(b & part).count("1")
+            psize = bin(part).count("1")
+            small = (b & part) if 2 * size <= psize else (part & ~b)
+            if small & bit:
+                chars.append("1")
+            elif part & bit:
+                chars.append("0")
+            else:
+                chars.append("?")
+        rows.append("".join(chars))
+    return rows

@@ -200,3 +200,41 @@ def test_nj_larger_random(rng):
     d, lab = leaf_distance_matrix(t)
     nj = neighbor_joining(d, lab)
     assert rf_distance(nj, t) == 0
+
+
+def test_select_compatible_subset():
+    """BipartitionSet.findCompatibleBipartitionSet role: the greedy
+    selection keeps the heavily-supported, mutually compatible
+    bipartitions and drops the conflicting minority."""
+    from pepr_tpu.tree.bipartition import (bipartition_counts, compatible,
+                                           select_compatible, taxon_index)
+    from pepr_tpu.tree import parse_newick
+
+    taxa = list("ABCDEF")
+    idx = taxon_index(taxa)
+    full = (1 << 6) - 1
+    main = parse_newick("(((A,B),(C,D)),(E,F));")
+    conflict = parse_newick("(((A,C),(B,D)),(E,F));")
+    counts = bipartition_counts([main] * 9 + [conflict], idx)
+    sel = select_compatible(counts, full)
+    # every main-tree bipartition survives; the conflicting minority
+    # bipartitions (AC, BD) are dropped
+    main_bips = bipartition_counts([main], idx)
+    assert set(sel) >= set(main_bips)
+    for a in sel:
+        for b in sel:
+            assert compatible(a, b, full)
+
+
+def test_bipartitions_as_matrix():
+    from pepr_tpu.tree.bipartition import (bipartitions_as_matrix,
+                                           taxon_index)
+    taxa = list("ABCD")
+    # bipartition {A,B} vs {C,D}: canonical excludes taxon 0 -> {C,D}
+    bip = (1 << 2) | (1 << 3)
+    rows = bipartitions_as_matrix([bip], taxa)
+    assert rows == ["0", "0", "1", "1"]
+    # partial participation: D not participating -> '?'
+    part = (1 << 0) | (1 << 1) | (1 << 2)
+    rows = bipartitions_as_matrix([bip], taxa, {bip: part})
+    assert rows == ["0", "0", "1", "?"]
