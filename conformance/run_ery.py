@@ -31,6 +31,14 @@ def main() -> int:
     logging.basicConfig(
         level=logging.INFO, stream=sys.stderr,
         format="%(asctime)s %(name)s %(message)s", datefmt="%H:%M:%S")
+    # client-side persistent compile cache: the tunnel's server-side
+    # cache expires after ~1h and a mid-recompile kill wedges the
+    # backend; a local cache makes slices immune if the backend
+    # supports serialized executables (harmless otherwise)
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     genome_files = sorted(glob.glob(os.path.join(EX, "*.faa")))
     outgroup_files = sorted(glob.glob(os.path.join(EX, "outgroup", "*.faa")))

@@ -57,3 +57,58 @@ def decode(codes: np.ndarray, pad_char: str = "") -> str:
         else:
             out.append("X")
     return "".join(out)
+
+
+# -- nucleotide alphabet (FastTree -nt mode support,
+# FastTreeRunner.java:67-77; NT encodings of AlignmentUtilities.java:
+# 174-342).  NT codes reuse the int8 convention: 0-3 = ACGT, IUPAC
+# ambiguity codes -> X, gaps -> GAP, so nucleotide data rides the same
+# kernels (dead protein states are masked by the model's frequencies).
+
+NT_ORDER = "ACGT"
+N_NT = 4
+
+NT_ENCODE_LUT = np.full(256, X, dtype=np.int8)
+for _i, _c in enumerate(NT_ORDER):
+    NT_ENCODE_LUT[ord(_c)] = _i
+    NT_ENCODE_LUT[ord(_c.lower())] = _i
+NT_ENCODE_LUT[ord("U")] = NT_ENCODE_LUT[ord("u")] = 3  # RNA
+for _c in "-.?":
+    NT_ENCODE_LUT[ord(_c)] = GAP
+
+
+def encode_nt(seq: str | bytes) -> np.ndarray:
+    """Encode a nucleotide string (IUPAC ambiguity codes -> X)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii", errors="replace")
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    return NT_ENCODE_LUT[raw]
+
+
+def decode_nt(codes: np.ndarray) -> str:
+    out = []
+    for c in np.asarray(codes):
+        if c < N_NT:
+            out.append(NT_ORDER[c])
+        elif c == GAP:
+            out.append("-")
+        elif c == PAD:
+            continue
+        else:
+            out.append("N")
+    return "".join(out)
+
+
+def map_alignment_gaps_to_nt(aligned_aa: str, unaligned_nt: str) -> str:
+    """Project an aligned amino-acid row onto its coding sequence: each
+    AA gap becomes '---', each residue consumes the next codon
+    (AlignmentUtilities.mapAlignmentGapsToNTSeq, :447-469)."""
+    out = []
+    k = 0
+    for ch in aligned_aa:
+        if ch in "-.?":
+            out.append("---")
+        else:
+            out.append(unaligned_nt[k:k + 3])
+            k += 3
+    return "".join(out)

@@ -324,6 +324,53 @@ def _remap_blen(children_old, children_new, blen, n_leaves):
     return blen_new
 
 
+def _children_bipartitions(children: np.ndarray, n_leaves: int,
+                           full: int) -> set[int]:
+    """Canonical internal-edge bipartitions of a kernel children array."""
+    from pepr_tpu.tree.bipartition import canonical
+    n_int = children.shape[0]
+    masks: dict[int, int] = {}
+    out: set[int] = set()
+    for k in range(n_int):
+        m = 0
+        for c in children[k]:
+            if c < 0:
+                continue
+            m |= masks[int(c)] if c >= n_leaves else (1 << int(c))
+        masks[n_leaves + k] = m
+        size = bin(m).count("1")
+        if 1 < size < n_leaves - 1 and k < n_int - 1:
+            out.add(canonical(m, full))
+    return out
+
+
+def _violates_constraint(children: np.ndarray, n_leaves: int,
+                         constraint_bips: set[int], full: int) -> bool:
+    from pepr_tpu.tree.bipartition import compatible
+    for b in _children_bipartitions(children, n_leaves, full):
+        for c in constraint_bips:
+            if not compatible(b, c, full):
+                return True
+    return False
+
+
+def fasttree_constraint_matrix(tree: Tree, taxa: list[str]) -> str:
+    """Presence/absence constraint matrix from a tree, FastTree's
+    constraint-file format (FastTreeRunner.getFastTreeConstraintsForTree,
+    FastTreeRunner.java:243-273): one fasta row per taxon (sorted), one
+    0/1 column per tree node marking descendant membership."""
+    from pepr_tpu.tree.bipartition import node_leafsets, taxon_index
+    names = sorted(taxa)
+    idx = taxon_index(names)
+    masks = node_leafsets(tree, idx)
+    lines = []
+    for t in names:
+        bit = 1 << idx[t]
+        row = "".join("1" if m & bit else "0" for m in masks)
+        lines.append(f">{t}\n{row}")
+    return "\n".join(lines) + "\n"
+
+
 def _score_candidate_arrays(codes_d, w_d, margs, site_chunk: int,
                             fixed: list[np.ndarray],
                             blens: list[np.ndarray],
@@ -350,10 +397,14 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
             *, site_weights: np.ndarray | None = None,
             start: Tree | None = None, nni_rounds: int = 8,
             bl_steps: int = 150, bl_refine_steps: int = 60,
-            spr_rounds: int = 2,
+            spr_rounds: int = 2, constraint: Tree | None = None,
             max_candidates: int | None = None) -> tuple[Tree, float]:
     """Full ML pipeline: NJ start -> BL opt -> NNI hill climbing with
     batched SPR escapes.
+
+    With `constraint` (FastTreeRunner.java:243-273's constraint-file
+    role), rearrangements introducing a bipartition incompatible with
+    the constraint tree are rejected.
 
     Each NNI round scores the FULL neighborhood (no silent cap; if
     `max_candidates` is set and truncates, a log line says so) and
@@ -392,6 +443,21 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
     w_d = jnp.asarray(w)
     site_chunk = _norm_chunk(L, 4096)
 
+    constraint_bips: set[int] | None = None
+    full_mask = (1 << n_leaves) - 1
+    if constraint is not None:
+        from pepr_tpu.tree.bipartition import bipartitions, taxon_index
+        constraint_bips = set(bipartitions(constraint,
+                                           taxon_index(list(taxa))))
+        if _violates_constraint(children, n_leaves, constraint_bips,
+                                full_mask):
+            log.info("ml_tree: starting topology violates the "
+                     "constraint tree; search may not recover")
+
+    def _allowed(cand: np.ndarray) -> bool:
+        return constraint_bips is None or not _violates_constraint(
+            cand, n_leaves, constraint_bips, full_mask)
+
     def reopt(new_children, new_blen, steps):
         nonlocal children, arr, ll
         children = new_children
@@ -415,6 +481,12 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
             break
         fixed = [_postorder_fix(_apply_swaps(children, n_leaves, [m]),
                                 n_leaves) for m in moves]
+        if constraint_bips is not None:
+            keep = [i for i, f in enumerate(fixed) if _allowed(f)]
+            moves = [moves[i] for i in keep]
+            fixed = [fixed[i] for i in keep]
+            if not moves:
+                break
         blens = [_remap_blen(children, f, arr.blen, n_leaves)
                  for f in fixed]
         scores = _score_candidate_arrays(codes_d, w_d, margs, site_chunk,
@@ -426,6 +498,9 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
                 break
             spr_left -= 1
             spr = _spr_candidates(children, n_leaves)
+            if constraint_bips is not None:
+                spr = [c for c in spr
+                       if _allowed(_postorder_fix(c, n_leaves))]
             if not spr:
                 break
             spr_fixed = [_postorder_fix(c, n_leaves) for c in spr]
@@ -453,6 +528,11 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
         prev_children, prev_blen, prev_ll = children, arr.blen.copy(), ll
         new_children = _postorder_fix(
             _apply_swaps(children, n_leaves, taken), n_leaves)
+        if len(taken) > 1 and not _allowed(new_children):
+            # combined moves (each individually allowed) can still
+            # violate the constraint together — take the best single
+            best = int(improving[np.argmax(scores[improving])])
+            new_children = fixed[best]
         new_blen = _remap_blen(children, new_children, arr.blen, n_leaves)
         reopt(new_children, new_blen, bl_refine_steps)
         if len(taken) > 1 and ll < prev_ll:

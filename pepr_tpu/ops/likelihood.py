@@ -57,6 +57,44 @@ class WagModel:
                    discrete_gamma_rates(alpha, n_cats).astype(np.float32))
 
     @classmethod
+    def gtr_nt(cls, freqs: np.ndarray | None = None,
+               rates: np.ndarray | None = None, alpha: float = 1.0,
+               n_cats: int = 4) -> "WagModel":
+        """Nucleotide GTR+Gamma riding the 20-state engine (FastTree
+        `-gtr -nt` role, FastTreeRunner.java:67-77): the 4x4 GTR block
+        sits in states 0-3 (ACGT), the 16 dead states get frequency
+        1e-10 so tip masking keeps their partials exactly zero.
+
+        freqs: (4,) base frequencies (default uniform).
+        rates: (4, 4) symmetric exchangeabilities or a length-6 vector
+        (AC, AG, AT, CG, CT, GT); default all-equal.
+        """
+        from pepr_tpu.data.protein_models import eigensystem
+
+        f4 = np.full(4, 0.25) if freqs is None \
+            else np.asarray(freqs, np.float64)
+        f4 = f4 / f4.sum()
+        if rates is None:
+            r4 = np.ones((4, 4))
+        else:
+            rates = np.asarray(rates, np.float64)
+            if rates.shape == (6,):
+                r4 = np.zeros((4, 4))
+                r4[np.triu_indices(4, 1)] = rates
+                r4 = r4 + r4.T
+            else:
+                r4 = rates
+        np.fill_diagonal(r4, 0.0)
+        big_r = np.zeros((N_AA, N_AA))
+        big_r[:4, :4] = r4
+        pi = np.full(N_AA, 1e-10)
+        pi[:4] = f4 * (1.0 - 16e-10)
+        eig, u, u_inv = eigensystem(big_r, pi)
+        return cls(eig.astype(np.float32), u.astype(np.float32),
+                   u_inv.astype(np.float32), pi.astype(np.float32),
+                   discrete_gamma_rates(alpha, n_cats).astype(np.float32))
+
+    @classmethod
     def named(cls, name: str, alpha: float = 1.0, n_cats: int = 4,
               empirical_freqs: np.ndarray | None = None) -> "WagModel":
         """Any registered substitution model (data/protein_models.py),
@@ -71,12 +109,16 @@ class WagModel:
                    discrete_gamma_rates(alpha, n_cats).astype(np.float32))
 
 
-def tips_to_partials(codes: jax.Array) -> jax.Array:
+def tips_to_partials(codes: jax.Array, pi: jax.Array) -> jax.Array:
     """(n_leaves, L) int8 -> (n_leaves, L, 20) tip partials; ambiguity
-    codes (B/Z/X/GAP/PAD >= 20) become all-ones."""
+    codes (B/Z/X/GAP/PAD >= 20) become all-ones over the LIVE states
+    (pi > 1e-6).  Live-state masking is what lets smaller alphabets
+    (nucleotide GTR: 4 live states, dead states pi ~ 1e-10) ride the
+    same 20-lane engine — dead-state partials stay exactly zero."""
     onehot = jax.nn.one_hot(codes, N_AA, dtype=jnp.float32)
     ambiguous = (codes >= N_AA)[..., None]
-    return jnp.where(ambiguous, 1.0, onehot)
+    live = (pi > 1e-6).astype(jnp.float32)
+    return jnp.where(ambiguous, live[None, None, :], onehot)
 
 
 def transition_matrices(model: WagModel, blen: jax.Array) -> jax.Array:
@@ -105,7 +147,7 @@ def loglik_sites(codes: jax.Array, children: jax.Array, blen: jax.Array,
     n_nodes = n_leaves + n_int
     C = rates.shape[0]
 
-    tips = tips_to_partials(codes)  # (n_leaves, L, 20)
+    tips = tips_to_partials(codes, pi)  # (n_leaves, L, 20)
     t = jnp.maximum(blen, 1e-9)
     ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
                  * t[None, :, None])
@@ -331,6 +373,7 @@ def loglik_numpy_eig(codes: np.ndarray, children: np.ndarray,
     u = model.u.astype(np.float64)
     ui = model.u_inv.astype(np.float64)
     pi = model.pi.astype(np.float64)
+    live = (pi > 1e-6).astype(np.float64)
     total_site = np.zeros((C, L))
     for c, r in enumerate(model.rates):
         partials = np.zeros((n_leaves + n_int, L, 20))
@@ -340,7 +383,7 @@ def loglik_numpy_eig(codes: np.ndarray, children: np.ndarray,
                 if code < 20:
                     partials[leaf, s, code] = 1.0
                 else:
-                    partials[leaf, s, :] = 1.0
+                    partials[leaf, s, :] = live
         for i in range(n_int):
             node = n_leaves + i
             prod = np.ones((L, 20))

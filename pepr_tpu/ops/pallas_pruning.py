@@ -51,14 +51,16 @@ def _kernel(children_ref, codes_ref, pmats_ref, pi_ref, out_ref,
     C = pmats_ref.shape[0]
     S = codes_ref.shape[1]
 
-    # tip partials: one-hot over states (ambiguous codes -> all ones)
+    # tip partials: one-hot over states (ambiguous codes -> all ones
+    # over the LIVE states pi > 1e-6, so smaller alphabets riding the
+    # 20-lane engine keep dead states exactly zero)
     state_iota = jax.lax.broadcasted_iota(jnp.int32, (A_PAD, S), 0)
+    live = (pi_ref[0, :] > 1e-6).astype(jnp.float32)  # (A_PAD,)
     for leaf in range(n_leaves):
         codes = codes_ref[leaf, :].astype(jnp.int32)  # (S,)
         onehot = (state_iota == codes[None, :]).astype(jnp.float32)
         ambig = (codes >= N_AA)[None, :]
-        valid_state = (state_iota < N_AA).astype(jnp.float32)
-        tip = jnp.where(ambig, valid_state, onehot)
+        tip = jnp.where(ambig, live[:, None], onehot)
         for c in range(C):
             partials[leaf, c] = tip
 
