@@ -74,17 +74,18 @@ def bench_likelihood(n_taxa=16, L=131072, iters=8):
 
 def bench_smith_waterman(batch=512, L=256, iters=5):
     import jax.numpy as jnp
-    from pepr_tpu.ops.smith_waterman import kernel_matrix, sw_align_batch
+    from pepr_tpu.ops.smith_waterman import (kernel_matrix,
+                                             sw_align_batch_fast)
 
     rng = np.random.default_rng(1)
     q = rng.integers(0, 20, size=(batch, L)).astype(np.int8)
     t = rng.integers(0, 20, size=(batch, L)).astype(np.int8)
     sub = jnp.asarray(kernel_matrix())
     qd, td = jnp.asarray(q), jnp.asarray(t)
-    np.asarray(sw_align_batch(qd, td, sub)["score"])  # compile
+    np.asarray(sw_align_batch_fast(qd, td, sub)["score"])  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(sw_align_batch(qd, td, sub)["score"])
+        out = np.asarray(sw_align_batch_fast(qd, td, sub)["score"])
     dt = (time.perf_counter() - t0) / iters
     cups = batch * L * L / dt
     return cups, dt

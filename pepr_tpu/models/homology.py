@@ -88,9 +88,10 @@ def _sw_gather_call(codes_all: jax.Array, q_idx: jax.Array,
                     t_idx: jax.Array, sub: jax.Array, blq: int, blt: int):
     """Gather a pair batch from the device-resident code matrix and run
     SW — only the (B,) index vectors cross the host-device link."""
+    from pepr_tpu.ops.smith_waterman import sw_align_batch_fast
     qb = codes_all[q_idx, :blq]
     tb = codes_all[t_idx, :blt]
-    return sw_align_batch(qb, tb, sub)
+    return sw_align_batch_fast(qb, tb, sub)
 
 
 def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,

@@ -155,6 +155,27 @@ def sw_align_batch(q: jax.Array, t: jax.Array, sub: jax.Array,
             "q_end": q_end, "t_end": t_end}
 
 
+def sw_align_batch_fast(q: jax.Array, t: jax.Array, sub: jax.Array,
+                        gap_open: int = 11, gap_extend: int = 1) -> dict:
+    """Production dispatch: the Pallas VMEM-resident wavefront on TPU
+    (ops/pallas_sw.py), the XLA scan elsewhere / for non-default gap
+    costs.  Pin with PEPR_SW_IMPL=scan|pallas."""
+    import os
+
+    impl = os.environ.get("PEPR_SW_IMPL")
+    if impl is None:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        impl = "pallas" if platform in ("tpu", "axon") else "scan"
+    if impl == "pallas" and (gap_open, gap_extend) == (11, 1):
+        from pepr_tpu.ops.pallas_sw import sw_align_batch_pallas
+        return sw_align_batch_pallas(q, t, sub)
+    return sw_align_batch(q, t, sub, gap_open=gap_open,
+                          gap_extend=gap_extend)
+
+
 def sw_align_numpy(q: np.ndarray, t: np.ndarray, sub: np.ndarray,
                    gap_open: int = 11, gap_extend: int = 1) -> dict:
     """Plain-python reference implementation (test oracle)."""
