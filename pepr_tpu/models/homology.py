@@ -94,11 +94,12 @@ def _sw_gather_call(codes_all: jax.Array, q_idx: jax.Array,
     return sw_align_batch_fast(qb, tb, sub)
 
 
-def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
+def _bucketed_sw(seqs_or_universe, pairs_q: np.ndarray,
                  pairs_t: np.ndarray, batch_size: int = 4096,
                  max_len: int = 4096, store=None, deadline=None,
                  ckpt_key: str | None = None) -> dict[str, np.ndarray]:
-    """Run SW on an arbitrary pair list.
+    """Run SW on an arbitrary pair list over a sequence collection
+    (a plain list of int8 code arrays, or anything with .seqs).
 
     Transfer/compile discipline (the TPU tunnel makes host->device
     bytes precious): all protein codes are packed PAD-filled into one
@@ -110,6 +111,8 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
     orientation-invariant and the wavefront does Lq-proportional work
     per step).
     """
+    seqs = seqs_or_universe if isinstance(seqs_or_universe, list) \
+        else seqs_or_universe.seqs
     sub = jnp.asarray(kernel_matrix())
     n_pairs = len(pairs_q)
     out = {k: np.zeros(n_pairs, dtype=np.float32)
@@ -119,11 +122,11 @@ def _bucketed_sw(universe: ProteinUniverse, pairs_q: np.ndarray,
 
     import logging as _logging
     _logging.getLogger("pepr_tpu").info(
-        "sw: packing %d seqs for device_put", len(universe.seqs))
-    lens = np.asarray(universe.lengths)
+        "sw: packing %d seqs for device_put", len(seqs))
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
     lmax = _pow2_len(int(lens.max()), hi=max_len)
-    packed = np.full((len(universe.seqs), lmax), 24, dtype=np.int8)
-    for i, s in enumerate(universe.seqs):
+    packed = np.full((len(seqs), lmax), 24, dtype=np.int8)
+    for i, s in enumerate(seqs):
         n = min(len(s), lmax)
         packed[i, :n] = np.asarray(s[:n], dtype=np.int8)
     codes_all = jax.device_put(packed)

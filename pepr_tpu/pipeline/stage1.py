@@ -114,37 +114,26 @@ def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
     cand_idx, _ = candidate_pairs(prof_q, prof_t, offsets,
                                   top_per_genome=3)
     flat = cand_idx.reshape(len(pool_seqs), -1)
-    qs, ts = [], []
-    for q in range(flat.shape[0]):
-        for t in flat[q]:
-            if t >= 0:
-                qs.append(q)
-                ts.append(int(t))
-    if not qs:
+    qs_arr, col = np.nonzero(flat >= 0)
+    ts_arr = flat[qs_arr, col].astype(np.int64)
+    if len(qs_arr) == 0:
         return [], {}
 
-    class _U:
-        pass
-
-    uni = _U()
-    uni.seqs = pool_seqs + target_seqs
-    uni.lengths = np.array([len(s) for s in uni.seqs], dtype=np.int32)
-    pq = np.array(qs, dtype=np.int64)
-    pt = np.array(ts, dtype=np.int64) + len(pool_seqs)
-    res = _bucketed_sw(uni, pq, pt)
+    res = _bucketed_sw(pool_seqs + target_seqs,
+                       qs_arr.astype(np.int64),
+                       ts_arr + len(pool_seqs))
     from pepr_tpu.data.blosum62 import raw_to_bit_score
     bits = raw_to_bit_score(res["score"])
 
     best: dict[tuple[int, int], tuple[float, int]] = {}
-    for k in range(len(pq)):
-        g = int(pool_genome[qs[k]])
-        hg = int(target_hg[ts[k]])
-        b = float(bits[k])
+    for q, t, b in zip(qs_arr, ts_arr, bits):
+        b = float(b)
         if b < cfg.outgroup_min_bits:
             continue
-        cur = best.get((g, hg))
+        key = (int(pool_genome[q]), int(target_hg[t]))
+        cur = best.get(key)
         if cur is None or b > cur[0]:
-            best[(g, hg)] = (b, int(qs[k]))
+            best[key] = (b, int(q))
     genome_scores = np.zeros(len(pool))
     for (g, hg), (b, _) in best.items():
         genome_scores[g] += b
@@ -231,6 +220,7 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
         t0 = time.time()
         selected, best = score_outgroups(hg_sets, outgroup_pool, cfg)
         selected_names = [outgroup_pool[g].taxon for g in selected]
+        pool_offsets = np.cumsum([0] + [len(g) for g in outgroup_pool])
         # add each selected genome's best member to each group
         for hg_i, s in enumerate(hg_sets):
             for g in selected:
@@ -238,11 +228,7 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
                 if hit is None:
                     continue
                 _, prot = hit
-                # locate protein within its genome
-                acc = 0
-                for gg in range(g):
-                    acc += len(outgroup_pool[gg])
-                local = prot - acc
+                local = prot - int(pool_offsets[g])
                 src = outgroup_pool[g]
                 s.titles.append(src.titles[local])
                 s.seqs.append(src.seqs[local])
