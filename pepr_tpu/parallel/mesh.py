@@ -217,4 +217,11 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
                   (model.eig, model.u, model.u_inv, model.pi, model.rates))
     blen, ll = _rep_blopt_jit(codes_s, rw_s, rc_s, rb_s, *margs,
                               steps=steps, chunk=chunk, lr=lr)
+    if jax.process_count() > 1:
+        # multi-host: outputs are sharded across processes; gather the
+        # full result on every host (replicate merge over DCN happens
+        # once here, not inside the optimization)
+        from jax.experimental import multihost_utils
+        blen = multihost_utils.process_allgather(blen, tiled=True)
+        ll = multihost_utils.process_allgather(ll, tiled=True)
     return np.asarray(blen)[:R], np.asarray(ll)[:R]
