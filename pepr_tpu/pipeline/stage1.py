@@ -38,7 +38,12 @@ class Stage1Config:
     outgroup_count: int = 2
     outgroup_min_bits: float = 50.0  # analog of hmmsearch -E 1e-40
     use_hmm: bool = True  # HMM set enhancement (the reference default)
-    hmm_min_bits: float = 100.0
+    # calibrated against the bundled hmmsearch (tests/test_binary_oracles
+    # + a 48-point sweep): our Plan7 Viterbi bits ~ 1.80*HMMER - 132
+    # (R^2 0.95), so the reference's `-E 1e-40` cutoff at ~3k-protein
+    # genomes (~144 HMMER bits) maps to ~128 of our bits
+    # (HMMSetEnhancer.java:527-530)
+    hmm_min_bits: float = 128.0
     unique_species: bool = False
     unique_genus: bool = False
     homology_file: str | None = None  # precomputed blast8 results
