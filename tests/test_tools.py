@@ -122,3 +122,21 @@ def test_homology_file_pipeline(tmp_path):
         [u.ids.index(i) for i in s.ids])) for s in res.hg_sets)
     want = sorted(tuple(sorted(f)) for f in families)
     assert got == want
+
+
+def test_treebuilder_compare(tmp_path, rng):
+    """TreeBuilderComparator.java:77-119 role: same alignment through
+    several builders with timings + RF."""
+    from pepr_tpu.tools.treebuilder_compare import compare_builders
+    from pepr_tpu.tree import parse_newick
+    from pepr_tpu.utils.simulate import simulate_alignment
+
+    true = parse_newick(
+        "(((A:0.15,B:0.12):0.1,(C:0.1,D:0.14):0.12):0.06,"
+        "(E:0.12,F:0.1):0.06);")
+    codes, taxa = simulate_alignment(true, 300, rng)
+    res = compare_builders(codes, taxa, ["fast_ml", "nj"])
+    assert res["alpha"] > 0
+    assert res["fast_ml"]["log_likelihood"] >= res["nj"]["log_likelihood"] - 1.0
+    assert "fast_ml-nj" in res["rf"]
+    assert res["fast_ml"]["seconds"] > 0
