@@ -76,7 +76,8 @@ def support_tree_single(cat: ConcatenatedAlignment, rep_idx: int,
         return nj_tree(cat.mat, cat.taxa, site_weights=w)
     tree, _ = ml_tree(cat.mat, cat.taxa, model, site_weights=w,
                       nni_rounds=nni_rounds, bl_steps=bl_steps,
-                      bl_refine_steps=max(bl_steps // 2, 20))
+                      bl_refine_steps=max(bl_steps // 2, 20),
+                      spr_rounds=0)  # NNI-only, like the batched path
     return tree
 
 

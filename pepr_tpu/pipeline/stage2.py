@@ -213,7 +213,8 @@ def run_stage2(sets: list[SequenceSet],
             cat.mat, cat.taxa, model,
             nni_rounds=(2 if fast else cfg.nni_rounds),
             bl_steps=(60 if fast else cfg.bl_steps),
-            bl_refine_steps=(30 if fast else max(cfg.bl_steps // 3, 40)))
+            bl_refine_steps=(30 if fast else max(cfg.bl_steps // 3, 40)),
+            spr_rounds=(1 if fast else 2))
         return to_newick(t), ll
 
     from pepr_tpu.tree import parse_newick
