@@ -159,18 +159,15 @@ def _maxplus_linear_scan(s: jax.Array, d: jax.Array) -> jax.Array:
     return s
 
 
-@jax.jit
-def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
-                        emit: jax.Array, tmm, tmi, tmd, tim, tii, tdm,
-                        tdd, m_lens: jax.Array) -> jax.Array:
-    """Plan7 local Viterbi scores (bits) for B (sequence, profile) pairs.
-
-    seq_codes: (B, L) int8; emit: (B, 20, M) log-odds; transitions
-    (B, M+1) in log2.  Free uniform entry into any match state (cost
-    log2(1/M)) and free exit from any match state — the full-sequence
-    local score the pipeline consumes (hmmsearch bit-score role; the
-    reference keeps only the per-pair score, HMMSetEnhancer.java:404).
-    """
+@functools.partial(jax.jit, static_argnames=())
+def viterbi_segment(seq_codes: jax.Array, pos0, seq_lens: jax.Array,
+                    emit: jax.Array, tmm, tmi, tmd, tim, tii, tdm,
+                    tdd, m_lens: jax.Array, vm0, vi0, vd0, total0):
+    """One sequence-axis segment of the Plan7 local Viterbi: processes
+    seq_codes (B, Lseg) starting at absolute position `pos0`, carrying
+    the (vm, vi, vd, total) state in.  Segmenting keeps each device
+    call's scan short — the remote TPU worker crashed compiling the
+    monolithic 2048-step x 4096-state shape."""
     B, L = seq_codes.shape
     M = emit.shape[2]
     entry = -jnp.log2(jnp.maximum(m_lens.astype(jnp.float32), 1.0))
@@ -227,17 +224,46 @@ def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
         total = jnp.where(live, new_total, total)
         return (vm, vi, vd, total), None
 
-    init = (jnp.full((B, M), NEG), jnp.full((B, M), NEG),
-            jnp.full((B, M), NEG), jnp.full((B,), NEG))
-    xs = (seq_codes.T, jnp.arange(L))
-    (_, _, _, total), _ = jax.lax.scan(step, init, xs)
+    init = (vm0, vi0, vd0, total0)
+    xs = (seq_codes.T, pos0 + jnp.arange(L))
+    (vm, vi, vd, total), _ = jax.lax.scan(step, init, xs)
+    return vm, vi, vd, total
+
+
+def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
+                        emit: jax.Array, tmm, tmi, tmd, tim, tii, tdm,
+                        tdd, m_lens: jax.Array,
+                        segment: int = 512) -> jax.Array:
+    """Plan7 local Viterbi scores (bits) for B (sequence, profile) pairs.
+
+    seq_codes: (B, L) int8; emit: (B, 20, M) log-odds; transitions
+    (B, M+1) in log2.  Free uniform entry into any match state (cost
+    log2(1/M)) and free exit from any match state — the full-sequence
+    local score the pipeline consumes (hmmsearch bit-score role; the
+    reference keeps only the per-pair score, HMMSetEnhancer.java:404).
+
+    Long sequences run as chained `segment`-column device calls with
+    the DP carry left on device (identical scores; the per-call scan
+    stays a shape the remote worker compiles reliably).
+    """
+    B, L = seq_codes.shape
+    M = emit.shape[2]
+    vm = jnp.full((B, M), NEG)
+    vi = jnp.full((B, M), NEG)
+    vd = jnp.full((B, M), NEG)
+    total = jnp.full((B,), NEG)
+    for s0 in range(0, L, segment):
+        s1 = min(s0 + segment, L)
+        vm, vi, vd, total = viterbi_segment(
+            seq_codes[:, s0:s1], jnp.int32(s0), seq_lens, emit, tmm,
+            tmi, tmd, tim, tii, tdm, tdd, m_lens, vm, vi, vd, total)
     return total
 
 
 @functools.partial(jax.jit, static_argnames=("lpad", "mpad"))
-def _viterbi_gather_call(codes_all, lens_all, emit_all, tmm, tmi, tmd,
-                         tim, tii, tdm, tdd, m_lens_all, seq_idx,
-                         hmm_idx, lpad: int, mpad: int):
+def _viterbi_gather(codes_all, lens_all, emit_all, tmm, tmi, tmd,
+                    tim, tii, tdm, tdd, m_lens_all, seq_idx,
+                    hmm_idx, lpad: int, mpad: int):
     """Gather (sequence, profile) batches from device-resident packs —
     only the two index vectors cross the host-device link per call."""
     codes = codes_all[seq_idx, :lpad]
@@ -246,6 +272,18 @@ def _viterbi_gather_call(codes_all, lens_all, emit_all, tmm, tmi, tmd,
     m_lens = jnp.minimum(m_lens_all[hmm_idx], mpad)
     tr = [t[hmm_idx, : mpad + 1] for t in (tmm, tmi, tmd, tim, tii,
                                            tdm, tdd)]
+    return codes, lens, emit, tr, m_lens
+
+
+def _viterbi_gather_call(codes_all, lens_all, emit_all, tmm, tmi, tmd,
+                         tim, tii, tdm, tdd, m_lens_all, seq_idx,
+                         hmm_idx, lpad: int, mpad: int):
+    """Gather, then run the (segmented) Viterbi — kept OUTSIDE one jit
+    so long sequences become several short-scan device calls instead of
+    the monolithic compile that crashed the remote worker."""
+    codes, lens, emit, tr, m_lens = _viterbi_gather(
+        codes_all, lens_all, emit_all, tmm, tmi, tmd, tim, tii, tdm,
+        tdd, m_lens_all, seq_idx, hmm_idx, lpad, mpad)
     return viterbi_score_batch(codes, lens, emit, *tr, m_lens)
 
 
