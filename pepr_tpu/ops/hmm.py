@@ -341,7 +341,10 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
         buckets.setdefault(key, []).append(k)
 
     from pepr_tpu.utils.dispatch import BoundedDispatch
-    dq = BoundedDispatch(window=16)
+    # window 4: each in-flight call holds its gathered emission slab
+    # (batch x 20 x mpad f32) alive on device; 16-deep windows OOM-kill
+    # the remote worker on the giant buckets
+    dq = BoundedDispatch(window=4)
 
     done: set = set()
     use_ckpt = store is not None and ckpt_key is not None

@@ -134,11 +134,15 @@ def _inv_softplus(y):
     return jnp.where(y > 20, y, jnp.log(jnp.expm1(y)))
 
 
-def _rep_chunk(R: int, L: int, cap_lanes: int = 131072) -> int:
-    """Site chunk so the vmapped per-chunk partials buffer stays
-    bounded: R_reps x chunk site lanes <= cap (each lane costs
-    n_nodes*C*20 floats live in the chunk scan)."""
-    c = max(int(cap_lanes // max(R, 1)), 128)
+def _rep_chunk(R: int, L: int, n_nodes: int, n_cats: int,
+               budget_bytes: int = 2_000_000_000) -> int:
+    """Site chunk so the vmapped per-chunk partials live set stays
+    under `budget_bytes`: each (rep, site-lane) costs
+    n_nodes*C*20 f32, with ~3 copies live across forward + remat
+    backward.  The remote TPU worker is OOM-killed (not a clean
+    RESOURCE_EXHAUSTED) when this is oversized — budget conservatively."""
+    per_lane = n_nodes * n_cats * 20 * 4 * 3
+    c = max(int(budget_bytes // max(R * per_lane, 1)), 128)
     c = int(2 ** np.floor(np.log2(c)))
     return min(c, int(2 ** np.ceil(np.log2(max(L, 1)))), 4096)
 
@@ -192,7 +196,9 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
     L = rep_weights.shape[1]
     n_rep = mesh.shape["rep"]
     n_site = mesh.shape["site"]
-    chunk = _rep_chunk(R, L)
+    n_nodes = rep_blen.shape[1]
+    chunk = _rep_chunk(-(-R // n_rep), L // max(n_site, 1), n_nodes,
+                       len(model.rates))
     site_mult = n_site * chunk
 
     # pad replicate axis
