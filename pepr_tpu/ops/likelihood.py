@@ -130,7 +130,10 @@ def transition_matrices(model: WagModel, blen: jax.Array) -> jax.Array:
     t = jnp.maximum(blen, 1e-9)
     ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
                  * t[None, :, None])  # (C, V, 20)
-    return jnp.einsum("ab,cvb,bd->cvad", u, ex, ui)
+    # clamp at zero: the f32 eigen-reconstruction can produce tiny
+    # negative probabilities which snowball through per-node rescaling
+    # into inf/NaN on TPU (sums/products of nonnegatives stay safe)
+    return jnp.maximum(jnp.einsum("ab,cvb,bd->cvad", u, ex, ui), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -151,7 +154,8 @@ def loglik_sites(codes: jax.Array, children: jax.Array, blen: jax.Array,
     t = jnp.maximum(blen, 1e-9)
     ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
                  * t[None, :, None])
-    pmats = jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv)  # (C,V,20,20)
+    pmats = jnp.maximum(
+        jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv), 0.0)  # (C,V,20,20)
 
     # buffer of partials for every node and category
     buf = jnp.zeros((n_nodes, C, L, N_AA), jnp.float32)
@@ -226,7 +230,8 @@ def loglik_sites_pallas(codes: jax.Array, children: jax.Array,
     t = jnp.maximum(blen, 1e-9)
     ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
                  * t[None, :, None])
-    pm = jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv)  # (C, V, 20, 20)
+    pm = jnp.maximum(jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv),
+                     0.0)  # (C, V, 20, 20)
     C, V = pm.shape[:2]
     pmp = jnp.zeros((C, V, A_PAD, A_PAD), jnp.float32)
     pmp = pmp.at[:, :, :N_AA, :N_AA].set(pm)
