@@ -133,7 +133,9 @@ def transition_matrices(model: WagModel, blen: jax.Array) -> jax.Array:
     # clamp at zero: the f32 eigen-reconstruction can produce tiny
     # negative probabilities which snowball through per-node rescaling
     # into inf/NaN on TPU (sums/products of nonnegatives stay safe)
-    return jnp.maximum(jnp.einsum("ab,cvb,bd->cvad", u, ex, ui), 0.0)
+    return jnp.maximum(
+        jnp.einsum("ab,cvb,bd->cvad", u, ex, ui,
+                   precision=jax.lax.Precision.HIGHEST), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -154,8 +156,12 @@ def loglik_sites(codes: jax.Array, children: jax.Array, blen: jax.Array,
     t = jnp.maximum(blen, 1e-9)
     ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
                  * t[None, :, None])
+    # HIGHEST precision throughout: the TPU default (bf16 passes) left
+    # the pruning recursion's forward off by ~1e-3 relative and its
+    # branch-length GRADIENTS NaN on real gap-heavy alignments
     pmats = jnp.maximum(
-        jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv), 0.0)  # (C,V,20,20)
+        jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv,
+                   precision=jax.lax.Precision.HIGHEST), 0.0)
 
     # buffer of partials for every node and category
     buf = jnp.zeros((n_nodes, C, L, N_AA), jnp.float32)
@@ -171,7 +177,8 @@ def loglik_sites(codes: jax.Array, children: jax.Array, blen: jax.Array,
             cid = kids[k]
             part = buf[jnp.maximum(cid, 0)]  # (C, L, 20)
             p = pmats[:, jnp.maximum(cid, 0)]  # (C, 20, 20)
-            term = jnp.einsum("cab,clb->cla", p, part)
+            term = jnp.einsum("cab,clb->cla", p, part,
+                              precision=jax.lax.Precision.HIGHEST)
             return jnp.where(cid >= 0, term, 1.0)
 
         prod = child_term(0) * child_term(1) * child_term(2)
@@ -186,7 +193,9 @@ def loglik_sites(codes: jax.Array, children: jax.Array, blen: jax.Array,
                                       jnp.arange(n_int))
     root = buf[n_nodes - 1]  # (C, L, 20)
     site_cat = jnp.log(jnp.maximum(
-        jnp.einsum("a,cla->cl", pi, root), 1e-30)) + logscale  # (C, L)
+        jnp.einsum("a,cla->cl", pi, root,
+                   precision=jax.lax.Precision.HIGHEST),
+        1e-30)) + logscale  # (C, L)
     # equal category weights
     return jax.scipy.special.logsumexp(site_cat, axis=0) - jnp.log(C * 1.0)
 
@@ -230,8 +239,10 @@ def loglik_sites_pallas(codes: jax.Array, children: jax.Array,
     t = jnp.maximum(blen, 1e-9)
     ex = jnp.exp(eig[None, None, :] * rates[:, None, None]
                  * t[None, :, None])
-    pm = jnp.maximum(jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv),
-                     0.0)  # (C, V, 20, 20)
+    pm = jnp.maximum(
+        jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv,
+                   precision=jax.lax.Precision.HIGHEST),
+        0.0)  # (C, V, 20, 20)
     C, V = pm.shape[:2]
     pmp = jnp.zeros((C, V, A_PAD, A_PAD), jnp.float32)
     pmp = pmp.at[:, :, :N_AA, :N_AA].set(pm)

@@ -79,7 +79,8 @@ def _kernel(children_ref, codes_ref, pmats_ref, pi_ref, out_ref,
                     p = pmats_ref[c, pl.ds(jnp.maximum(cid, 0), 1)][0]
                     terms.append(
                         jnp.dot(p, child[c],
-                                preferred_element_type=jnp.float32))
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST))
                 return prod * jnp.stack(terms, axis=0)
 
             prod = jax.lax.cond(cid >= 0, apply_child, lambda p: p, prod)

@@ -183,15 +183,40 @@ def _rep_blopt_jit(codes, rw, rc, rb, eig, u, ui, pi, rates,
 def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
                             rep_children: np.ndarray,
                             rep_blen: np.ndarray, model: WagModel,
-                            steps: int = 60, lr: float = 0.03):
+                            steps: int = 60, lr: float = 0.03,
+                            block_reps: int = 16):
     """Jackknife fan-out: optimize branch lengths of R replicates (each
     its own topology + site-weight mask) in parallel, replicates sharded
     over the 'rep' mesh axis and sites over the 'site' axis.  The nll is
     site-chunk-scanned with rematerialization (loglik_weighted), so the
     whole replicate batch fits in HBM at golden-run alignment lengths.
 
+    Replicates run in `block_reps`-per-device blocks of the same
+    compiled program (the remote TPU worker dies on very wide vmapped
+    gradient programs; blocks of 16 run reliably).
+
     Returns (blen (R, n_nodes), ll (R,)).
     """
+    R_total = rep_weights.shape[0]
+    block = max(block_reps, 1) * mesh.shape["rep"]
+    if R_total > block:
+        def pad_block(a):
+            pad = (-a.shape[0]) % block
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)],
+                                   axis=0)
+            return a
+
+        rw, rc, rb = (pad_block(np.asarray(rep_weights)),
+                      pad_block(np.asarray(rep_children)),
+                      pad_block(np.asarray(rep_blen)))
+        outs = [sharded_replicate_blopt(
+            mesh, codes, rw[s0:s0 + block], rc[s0:s0 + block],
+            rb[s0:s0 + block], model, steps=steps, lr=lr,
+            block_reps=block_reps)
+            for s0 in range(0, rw.shape[0], block)]
+        return (np.concatenate([o[0] for o in outs], axis=0)[:R_total],
+                np.concatenate([o[1] for o in outs], axis=0)[:R_total])
     R = rep_weights.shape[0]
     L = rep_weights.shape[1]
     n_rep = mesh.shape["rep"]
