@@ -1,4 +1,6 @@
-"""Profile HMMs: build from an MSA, score proteins with Forward DP.
+"""Profile HMMs: build from an MSA, score proteins with Forward or
+Viterbi DP (Forward is the production default — hmmsearch's reported
+full-sequence bit score is a Forward score).
 
 The compute replacement for HMMER3's hmmbuild/hmmsearch as the
 reference uses them (HMMSetEnhancer.java:483-532: one HMM per homolog
@@ -8,9 +10,11 @@ genome with `--tblout -E 1e-40`, keeping full-sequence scores).
 Model: Plan7-style profile with match/insert/delete states, uniform
 local entry/exit (multihit omitted — the pipeline consumes one
 full-sequence score per (profile, protein)).  Scoring is a log-space
-Forward over sequence positions: a `lax.scan` carrying (B, M) state
+DP over sequence positions: a `lax.scan` carrying (B, M) state
 vectors, batched over proteins on the VPU; profiles are padded to
-power-of-two lengths for compile discipline.
+power-of-two lengths for compile discipline.  Forward and Viterbi
+share one kernel differing only in the semiring reduction
+(logaddexp2 vs max).
 
 Build follows HMMER's architecture rule: alignment columns with gap
 fraction <= 0.5 become match states; emissions are observed
@@ -52,8 +56,18 @@ class ProfileHMM:
 
 def build_profile_hmm(aln: np.ndarray, name: str = "",
                       pseudo: float = 1.0,
-                      gap_cutoff: float = 0.5) -> ProfileHMM:
-    """Build a profile from an aligned (n, L) int8 matrix."""
+                      gap_cutoff: float = 0.5,
+                      entropy_target: float = 0.59) -> ProfileHMM:
+    """Build a profile from an aligned (n, L) int8 matrix.
+
+    entropy_target: HMMER-style entropy weighting — the observed
+    counts are scaled down (effective sequence number) until the mean
+    per-match-column relative entropy vs the background is at most
+    this many bits (HMMER3's amino-acid default ~0.59; hmmbuild's
+    "eweight" step).  Without it our bit scores run ~2x HMMER's
+    (r3 calibration sweep: slope 2.04 -> ~1.0 with weighting).
+    Set entropy_target=None to disable.
+    """
     n, L = aln.shape
     bg = WAG_FREQS / WAG_FREQS.sum()
     is_gap = (aln == GAP) | (aln == PAD)
@@ -68,9 +82,28 @@ def build_profile_hmm(aln: np.ndarray, name: str = "",
     counts = np.zeros((M, N_AA))
     for a in range(N_AA):
         counts[:, a] = (sub == a).sum(axis=0)
-    probs = (counts + pseudo * bg[None, :])
-    probs /= probs.sum(axis=1, keepdims=True)
-    match_logodds = np.log2(probs / bg[None, :])
+
+    def logodds_for(scale: float) -> np.ndarray:
+        probs = scale * counts + pseudo * bg[None, :]
+        probs /= probs.sum(axis=1, keepdims=True)
+        return np.log2(probs / bg[None, :])
+
+    def mean_rel_entropy(scale: float) -> float:
+        probs = scale * counts + pseudo * bg[None, :]
+        probs /= probs.sum(axis=1, keepdims=True)
+        return float((probs * np.log2(probs / bg[None, :])).sum(1).mean())
+
+    scale = 1.0
+    if entropy_target is not None and mean_rel_entropy(1.0) > entropy_target:
+        lo, hi = 0.0, 1.0  # bisection on the count scale (monotone)
+        for _ in range(30):
+            mid = 0.5 * (lo + hi)
+            if mean_rel_entropy(mid) > entropy_target:
+                hi = mid
+            else:
+                lo = mid
+        scale = 0.5 * (lo + hi)
+    match_logodds = logodds_for(scale)
 
     # transition counts from the gap structure between match columns
     # (vectorized over columns — thousands of profiles are built per
@@ -133,16 +166,19 @@ def pack_profiles(hmms: list[ProfileHMM], length: int | None = None):
     return emit, fields, np.array(ms, dtype=np.int32)
 
 
-def _maxplus_linear_scan(s: jax.Array, d: jax.Array) -> jax.Array:
-    """Solve x_k = max(s_k, x_{k-1} + d_{k-1}) along the last axis
-    (x_{-1} = -inf) as a Kogge-Stone doubling in the max-plus algebra.
+def _semiring_linear_scan(s: jax.Array, d: jax.Array,
+                          op=jnp.maximum) -> jax.Array:
+    """Solve x_k = op(s_k, x_{k-1} + d_{k-1}) along the last axis
+    (x_{-1} = -inf) as a Kogge-Stone doubling in the (op, +) semiring
+    — op = max (Viterbi) or logaddexp2 (Forward).
 
-    Each position is an affine map f_k(x) = max(s_k, x + a_k) with
+    Each position is an affine map f_k(x) = op(s_k, x + a_k) with
     a_k = d_{k-1}; composition (a1,s1) then (a2,s2) is
-    (a1+a2, max(s2, s1+a2)), which is associative.  Hand-rolled
-    shift-doubling instead of lax.associative_scan: the latter's
-    recursive odd/even lowering makes XLA:TPU compile time blow up
-    (>9 min at M=1024 inside a scan body; this form compiles fast).
+    (a1+a2, op(s2, s1+a2)), which is associative for any semiring
+    where + distributes over op.  Hand-rolled shift-doubling instead
+    of lax.associative_scan: the latter's recursive odd/even lowering
+    makes XLA:TPU compile time blow up (>9 min at M=1024 inside a
+    scan body; this form compiles fast).
     """
     a = jnp.concatenate([jnp.full(d.shape[:-1] + (1,), NEG, d.dtype),
                          d[..., :-1]], axis=-1)
@@ -153,19 +189,30 @@ def _maxplus_linear_scan(s: jax.Array, d: jax.Array) -> jax.Array:
         pad_s = jnp.full(s.shape[:-1] + (t,), NEG, s.dtype)
         a_l = jnp.concatenate([pad_a, a[..., :-t]], axis=-1)
         s_l = jnp.concatenate([pad_s, s[..., :-t]], axis=-1)
-        s = jnp.maximum(s, s_l + a)
+        s = op(s, s_l + a)
         a = a + a_l
         t *= 2
     return s
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _lse2(x: jax.Array, axis: int) -> jax.Array:
+    """log2-sum-exp2 reduction (numerically safe at NEG sentinels)."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    out = m + jnp.log2(jnp.sum(jnp.exp2(x - m), axis=axis,
+                               keepdims=True))
+    return jnp.squeeze(out, axis=axis)
+
+
+@functools.partial(jax.jit, static_argnames=("forward",))
 def viterbi_segment(seq_codes: jax.Array, pos0, seq_lens: jax.Array,
                     emit: jax.Array, tmm, tmi, tmd, tim, tii, tdm,
-                    tdd, m_lens: jax.Array, vm0, vi0, vd0, total0):
-    """One sequence-axis segment of the Plan7 local Viterbi: processes
-    seq_codes (B, Lseg) starting at absolute position `pos0`, carrying
-    the (vm, vi, vd, total) state in.  Segmenting keeps each device
+                    tdd, m_lens: jax.Array, vm0, vi0, vd0, total0,
+                    forward: bool = False):
+    """One sequence-axis segment of the Plan7 local DP (Viterbi by
+    default; `forward=True` swaps max for logaddexp2 and accumulates
+    the path-sum score hmmsearch reports): processes seq_codes
+    (B, Lseg) starting at absolute position `pos0`, carrying the
+    (vm, vi, vd, total) state in.  Segmenting keeps each device
     call's scan short — the remote TPU worker crashed compiling the
     monolithic 2048-step x 4096-state shape."""
     B, L = seq_codes.shape
@@ -192,6 +239,8 @@ def viterbi_segment(seq_codes: jax.Array, pos0, seq_lens: jax.Array,
     tii_m = tii[:, :M]
     tdd_m = tdd[:, :M]
 
+    op = jnp.logaddexp2 if forward else jnp.maximum
+
     def step(carry, x):
         codes, pos = x  # (B,), scalar
         vm, vi, vd, total = carry
@@ -206,16 +255,21 @@ def viterbi_segment(seq_codes: jax.Array, pos0, seq_lens: jax.Array,
         # one fused shift for all three state vectors
         vmid = jnp.stack([vm, vi, vd], axis=1)  # (B, 3, M)
         sh = shift1(vmid)
-        best_in = jnp.maximum(
-            jnp.maximum(sh[:, 0] + tmm_s, sh[:, 1] + tim_s),
-            jnp.maximum(sh[:, 2] + tdm_s, entry[:, None]))
+        best_in = op(
+            op(sh[:, 0] + tmm_s, sh[:, 1] + tim_s),
+            op(sh[:, 2] + tdm_s,
+               jnp.broadcast_to(entry[:, None], sh[:, 0].shape)))
         new_vm = jnp.where(k_valid, e + best_in, NEG)
-        new_vi = jnp.maximum(vm + tmi_m, vi + tii_m)
-        # delete chain within this position: d_k = max(m_{k-1} + tmd_{k-1},
+        new_vi = op(vm + tmi_m, vi + tii_m)
+        # delete chain within this position: d_k = op(m_{k-1} + tmd_{k-1},
         # d_{k-1} + tdd_{k-1})
         s_term = shift1(new_vm + tmd[:, :M])
-        new_vd = _maxplus_linear_scan(s_term, tdd_m)
-        new_total = jnp.maximum(total, jnp.max(new_vm, axis=1))
+        new_vd = _semiring_linear_scan(s_term, tdd_m, op=op)
+        if forward:
+            # free exit from any match state: sum path mass over exits
+            new_total = jnp.logaddexp2(total, _lse2(new_vm, axis=1))
+        else:
+            new_total = jnp.maximum(total, jnp.max(new_vm, axis=1))
 
         live = pos < seq_lens
         vm = jnp.where(live[:, None], new_vm, vm)
@@ -233,8 +287,10 @@ def viterbi_segment(seq_codes: jax.Array, pos0, seq_lens: jax.Array,
 def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
                         emit: jax.Array, tmm, tmi, tmd, tim, tii, tdm,
                         tdd, m_lens: jax.Array,
-                        segment: int = 512) -> jax.Array:
-    """Plan7 local Viterbi scores (bits) for B (sequence, profile) pairs.
+                        segment: int = 512,
+                        forward: bool = False) -> jax.Array:
+    """Plan7 local Viterbi (or Forward, forward=True) scores in bits
+    for B (sequence, profile) pairs.
 
     seq_codes: (B, L) int8; emit: (B, 20, M) log-odds; transitions
     (B, M+1) in log2.  Free uniform entry into any match state (cost
@@ -256,7 +312,8 @@ def viterbi_score_batch(seq_codes: jax.Array, seq_lens: jax.Array,
         s1 = min(s0 + segment, L)
         vm, vi, vd, total = viterbi_segment(
             seq_codes[:, s0:s1], jnp.int32(s0), seq_lens, emit, tmm,
-            tmi, tmd, tim, tii, tdm, tdd, m_lens, vm, vi, vd, total)
+            tmi, tmd, tim, tii, tdm, tdd, m_lens, vm, vi, vd, total,
+            forward=forward)
     return total
 
 
@@ -277,22 +334,40 @@ def _viterbi_gather(codes_all, lens_all, emit_all, tmm, tmi, tmd,
 
 def _viterbi_gather_call(codes_all, lens_all, emit_all, tmm, tmi, tmd,
                          tim, tii, tdm, tdd, m_lens_all, seq_idx,
-                         hmm_idx, lpad: int, mpad: int):
-    """Gather, then run the (segmented) Viterbi — kept OUTSIDE one jit
+                         hmm_idx, lpad: int, mpad: int,
+                         forward: bool = False):
+    """Gather, then run the (segmented) DP — kept OUTSIDE one jit
     so long sequences become several short-scan device calls instead of
     the monolithic compile that crashed the remote worker."""
     codes, lens, emit, tr, m_lens = _viterbi_gather(
         codes_all, lens_all, emit_all, tmm, tmi, tmd, tim, tii, tdm,
         tdd, m_lens_all, seq_idx, hmm_idx, lpad, mpad)
-    return viterbi_score_batch(codes, lens, emit, *tr, m_lens)
+    return viterbi_score_batch(codes, lens, emit, *tr, m_lens,
+                               forward=forward)
 
 
 def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
                         pairs: list[tuple[int, int]],
                         batch_size: int = 4096, store=None,
                         deadline=None,
-                        ckpt_key: str | None = None) -> np.ndarray:
+                        ckpt_key: str | None = None,
+                        algorithm: str = "forward",
+                        null_per_col: float = 0.22) -> np.ndarray:
     """Score (sequence index, hmm index) pairs; returns bits (P,).
+
+    algorithm: "forward" (default — hmmsearch's reported full-sequence
+    bit score is a Forward score; calibration vs the bundled hmmsearch
+    is near slope-1) or "viterbi" (best single path).
+
+    null_per_col: empirical null-model correction, bits per match
+    column subtracted from every score.  HMMER applies a
+    length-dependent null (null2/loop costs) our single-hit local
+    model lacks; without it our Forward bits sit ~0.22*M above
+    HMMER's at slope ~1 (r3 sweep, profiles of 80/200/400 columns:
+    intercepts 18/40/92 ~= 0.22*M, per-length slopes 1.00-1.08,
+    R^2 0.995).  With it our bit scale IS the HMMER bit scale, so
+    reference-derived cutoffs (hmmsearch -E 1e-40 ~ 144 bits at
+    3k-protein genomes, HMMSetEnhancer.java:527-530) apply directly.
 
     Profiles are grouped into per-length-bucket resident packs (one
     global pack padded to the longest profile OOMs HBM); per-call
@@ -419,7 +494,7 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
                 res = _viterbi_gather_call(
                     codes_all, lens_all, emit_all, *trans_all,
                     m_lens_all, jnp.asarray(si), jnp.asarray(hi),
-                    lpad, mpad)
+                    lpad, mpad, forward=(algorithm == "forward"))
                 _consume(dq.submit((chunk, B, key), res))
                 n_run += 1
                 if use_ckpt and _time.time() - last_save > 60.0:
@@ -434,4 +509,9 @@ def profile_score_pairs(seqs: list[np.ndarray], hmms: list[ProfileHMM],
         del emit_all, trans_all, m_lens_all
     _consume(dq.drain())
     _save()
+    # per-column null correction applied once, on the final return
+    # (chunk checkpoints hold raw kernel scores)
+    if null_per_col:
+        m_arr = np.array([hmms[h].length for _, h in pairs], np.float32)
+        return out - null_per_col * m_arr
     return out

@@ -42,12 +42,22 @@ def _shift_lanes(x, fill):
 
 
 def _kernel(q_ref, t_rp_ref, sub_ref, score_ref, match_ref, len_ref,
-            qend_ref, diag_ref, subq, h1, h2, e1, f1, mh1, mh2, me1, mf1,
-            lh1, lh2, le1, lf1):
+            qend_ref, diag_ref, troll, subq, h1, h2, e1, f1, mh1, mh2,
+            me1, mf1, lh1, lh2, le1, lf1):
     Lq = q_ref.shape[1]
-    Lt = t_rp_ref.shape[1] - 2 * Lq + 1
+    D = t_rp_ref.shape[1]
+    Lt = D - 2 * Lq + 1
     gap_open = jnp.float32(11.0)
     gap_extend = jnp.float32(1.0)
+
+    # Mosaic cannot lower lane-dim dynamic slices at non-128-aligned
+    # offsets, so instead of slicing the reversed target per diagonal
+    # we keep a rolling copy in VMEM: lane [0, Lq) IS the diagonal-k
+    # window after k single-lane rolls (start offset decreases by one
+    # per wavefront step).
+    start0 = Lq + Lt - 2  # diagonal-0 window offset in t_rp
+    troll[...] = pltpu.roll(t_rp_ref[...].astype(jnp.int32),
+                            D - start0, axis=1)
 
     qc = q_ref[...].astype(jnp.int32)  # (TB, Lq)
     # per-program substitution slab: subq[b, a, i] = sub[a, q[b, i]]
@@ -76,9 +86,9 @@ def _kernel(q_ref, t_rp_ref, sub_ref, score_ref, match_ref, len_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Lq), 1)
 
     def step(k, _):
-        # target codes along diagonal k (ascending in query index i)
-        start = Lt - 1 - k + (Lq - 1)
-        td = t_rp_ref[:, pl.ds(start, Lq)].astype(jnp.int32)  # (TB, Lq)
+        # target codes along diagonal k (ascending in query index i):
+        # the first Lq lanes of the rolling window
+        td = troll[:, :Lq]  # (TB, Lq) int32
         # s[b, i] = subq[b, td[b, i], i] via one-hot compare-and-sum
         td1h = (td[:, None, :] == code_ax).astype(jnp.float32)
         s = jnp.sum(subq[...] * td1h, axis=1)
@@ -124,10 +134,13 @@ def _kernel(q_ref, t_rp_ref, sub_ref, score_ref, match_ref, len_ref,
         mh = jnp.where(h <= 0.0, 0.0, mh)
         lh = jnp.where(h <= 0.0, 0.0, lh)
 
-        # per-pair best cell of this diagonal (one-hot argmax selection)
+        # per-pair best cell of this diagonal (one-hot argmax selection).
+        # First-match tie-break via a min-index reduction: cumsum does
+        # not lower on TPU Pallas (BENCH_r02), min/iota/where do.
         row_best = jnp.max(h, axis=1, keepdims=True)  # (TB, 1)
-        is_best = (h == row_best) & \
-            (jnp.cumsum((h == row_best).astype(jnp.int32), axis=1) == 1)
+        best_lane = jnp.min(jnp.where(h == row_best, lane, Lq),
+                            axis=1, keepdims=True)  # (TB, 1)
+        is_best = lane == best_lane
         sel_m = jnp.sum(jnp.where(is_best, mh, 0.0), axis=1,
                         keepdims=True)
         sel_l = jnp.sum(jnp.where(is_best, lh, 0.0), axis=1,
@@ -148,6 +161,7 @@ def _kernel(q_ref, t_rp_ref, sub_ref, score_ref, match_ref, len_ref,
         me1[...], mf1[...] = me, mf
         lh1[...], lh2[...] = lh, lh1v
         le1[...], lf1[...] = le, lf
+        troll[...] = pltpu.roll(troll[...], 1, axis=1)
         return 0
 
     jax.lax.fori_loop(0, Lq + Lt - 1, step, 0)
@@ -175,7 +189,8 @@ def sw_align_batch_pallas(q: jax.Array, t: jax.Array, sub: jax.Array,
     D = t_rp.shape[1]
     out_shapes = [jax.ShapeDtypeStruct((Bp, 1), jnp.float32)
                   for _ in range(5)]
-    scratch = [pltpu.VMEM((TB, N_SUB, Lq), jnp.float32)] + \
+    scratch = [pltpu.VMEM((TB, D), jnp.int32),
+               pltpu.VMEM((TB, N_SUB, Lq), jnp.float32)] + \
         [pltpu.VMEM((TB, Lq), jnp.float32) for _ in range(12)]
     score, match, length, qend, diag = pl.pallas_call(
         _kernel,

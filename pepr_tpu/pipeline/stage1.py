@@ -38,12 +38,13 @@ class Stage1Config:
     outgroup_count: int = 2
     outgroup_min_bits: float = 50.0  # analog of hmmsearch -E 1e-40
     use_hmm: bool = True  # HMM set enhancement (the reference default)
-    # calibrated against the bundled hmmsearch (tests/test_binary_oracles
-    # + a 48-point sweep): our Plan7 Viterbi bits ~ 1.80*HMMER - 132
-    # (R^2 0.95), so the reference's `-E 1e-40` cutoff at ~3k-protein
-    # genomes (~144 HMMER bits) maps to ~128 of our bits
+    # Our Forward bits are on the HMMER bit scale directly (r3: Plan7
+    # Forward + HMMER-style entropy weighting + 0.22 bits/column null
+    # correction fits ours = ~1.0*HMMER, R^2 0.995 vs the bundled
+    # hmmsearch — ops/hmm.py), so the reference's `-E 1e-40` cutoff at
+    # ~3k-protein genomes is used directly: S >= log2(N/E) ~ 144 bits
     # (HMMSetEnhancer.java:527-530)
-    hmm_min_bits: float = 128.0
+    hmm_min_bits: float = 144.0
     unique_species: bool = False
     unique_genus: bool = False
     homology_file: str | None = None  # precomputed blast8 results

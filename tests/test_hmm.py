@@ -63,6 +63,43 @@ def test_build_profile_emissions(rng):
     assert hits > hmm.length * 0.8
 
 
+def forward_numpy(seq, hmm: ProfileHMM):
+    """Forward oracle: same recurrences in the (logaddexp2, +) semiring."""
+    def lae(*xs):
+        m = max(xs)
+        if m <= NEG:
+            return NEG
+        return m + np.log2(sum(2.0 ** (np.float64(x) - m) for x in xs))
+
+    M = hmm.length
+    e = hmm.match_logodds
+    entry = -np.log2(M)
+    vm = np.full(M, NEG)
+    vi = np.full(M, NEG)
+    vd = np.full(M, NEG)
+    total = NEG
+    for c in seq:
+        new_vm = np.full(M, NEG)
+        for k in range(M):
+            best = entry
+            if k > 0:
+                best = lae(best, vm[k - 1] + hmm.log_tmm[k - 1],
+                           vi[k - 1] + hmm.log_tim[k - 1],
+                           vd[k - 1] + hmm.log_tdm[k - 1])
+            emit = 0.0 if c >= 20 else e[k, c]
+            new_vm[k] = emit + best
+        new_vi = np.array([lae(vm[k] + hmm.log_tmi[k],
+                               vi[k] + hmm.log_tii[k])
+                           for k in range(M)])
+        new_vd = np.full(M, NEG)
+        for k in range(1, M):
+            new_vd[k] = lae(new_vm[k - 1] + hmm.log_tmd[k - 1],
+                            new_vd[k - 1] + hmm.log_tdd[k - 1])
+        vm, vi, vd = new_vm, new_vi, new_vd
+        total = lae(total, *vm)
+    return total
+
+
 def test_viterbi_matches_numpy_oracle(rng):
     base, seqs = _family(rng, n=5, L=24)
     hmm = build_profile_hmm(np.stack(seqs))
@@ -71,10 +108,31 @@ def test_viterbi_matches_numpy_oracle(rng):
                  np.concatenate([rng.integers(0, 20, 5).astype(np.int8),
                                  base[:15]])]
     pairs = [(i, 0) for i in range(len(test_seqs))]
-    got = profile_score_pairs(test_seqs, [hmm], pairs)
+    got = profile_score_pairs(test_seqs, [hmm], pairs,
+                              algorithm="viterbi", null_per_col=0.0)
     for i, s in enumerate(test_seqs):
         want = viterbi_numpy(s, hmm)
         assert float(got[i]) == pytest.approx(want, rel=1e-4, abs=1e-3), i
+
+
+def test_forward_matches_numpy_oracle():
+    # local RNG: the shared session-scoped `rng` fixture's draw order
+    # feeds later tests; a new consumer must not shift their stream
+    rng = np.random.default_rng(77)
+    base, seqs = _family(rng, n=5, L=24)
+    hmm = build_profile_hmm(np.stack(seqs))
+    test_seqs = [base,
+                 rng.integers(0, 20, size=30).astype(np.int8),
+                 np.concatenate([rng.integers(0, 20, 5).astype(np.int8),
+                                 base[:15]])]
+    pairs = [(i, 0) for i in range(len(test_seqs))]
+    got = profile_score_pairs(test_seqs, [hmm], pairs,
+                              algorithm="forward", null_per_col=0.0)
+    for i, s in enumerate(test_seqs):
+        want = forward_numpy(s, hmm)
+        assert float(got[i]) == pytest.approx(want, rel=1e-3, abs=0.05), i
+        # Forward >= Viterbi always (sum over paths vs best path)
+        assert float(got[i]) >= viterbi_numpy(s, hmm) - 1e-3
 
 
 def test_member_scores_higher_than_random(rng):

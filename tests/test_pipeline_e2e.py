@@ -40,6 +40,11 @@ def sim_run(tmp_path_factory):
     cfg = PeprConfig(run_name="sim", out_dir=out_dir, refine=False,
                      outgroup_count=2)
     cfg.min_taxa_multiplier = 0.8
+    # 120-residue synthetic genes can't reach the production 144-bit
+    # (-E 1e-40 equivalent) cutoff under entropy weighting — real
+    # hmmsearch at the reference's E-value would drop them too.  The
+    # pipeline machinery is under test here, not the calibration.
+    cfg.stage1.hmm_min_bits = 40.0
     cfg.stage2.support_reps = 10
     cfg.stage2.full_tree_method = "ml"
     cfg.stage2.nni_rounds = 4
