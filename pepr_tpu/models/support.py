@@ -217,7 +217,13 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
         log.info("support: batched BL-opt of %d replicates done", reps)
     check("support BL-opt")
 
-    for rnd in range(round_done, nni_rounds):
+    # run until no replicate improves, FastTree-style round cap
+    # (~4*log2(N)); nni_rounds acts as a floor, not the budget — r3's
+    # ery run showed 94/100 replicates still moving when the old
+    # fixed-2-round loop stopped
+    max_rounds = max(nni_rounds,
+                     4 * int(np.ceil(np.log2(max(n_leaves, 4)))))
+    for rnd in range(round_done, max_rounds):
         # build every replicate's NNI neighborhood
         cand_children, cand_blen, cand_w, cand_rep = [], [], [], []
         per_rep_moves: list[list] = []
@@ -284,6 +290,9 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
             store.save(state_key, (children, blens, lls, rnd + 1))
         log.info("support: NNI round %d moved %d/%d replicates", rnd,
                  changed, reps)
+        if rnd == max_rounds - 1:
+            log.warning("support: NNI round cap %d hit with %d "
+                        "replicates still moving", max_rounds, changed)
         check(f"support NNI round {rnd}")
 
     trees = []

@@ -398,9 +398,18 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
             start: Tree | None = None, nni_rounds: int = 8,
             bl_steps: int = 150, bl_refine_steps: int = 60,
             spr_rounds: int = 2, constraint: Tree | None = None,
-            max_candidates: int | None = None) -> tuple[Tree, float]:
+            max_candidates: int | None = None,
+            store=None, deadline=None,
+            ckpt_key: str | None = None) -> tuple[Tree, float]:
     """Full ML pipeline: NJ start -> BL opt -> NNI hill climbing with
     batched SPR escapes.
+
+    With `store` + `ckpt_key`, search state (topology, branch lengths,
+    LL, round counters) is checkpointed after the initial BL-opt and
+    every accepted round, and a near-`deadline` raises Incomplete so a
+    later call resumes mid-search — the full concatenated tree is the
+    longest single device computation in stage 2 and must survive the
+    tunneled backend's <10-minute foreground slices.
 
     With `constraint` (FastTreeRunner.java:243-273's constraint-file
     role), rearrangements introducing a bipartition incompatible with
@@ -430,10 +439,25 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
     w = np.ones(L, np.float32) if site_weights is None else \
         np.asarray(site_weights, np.float32)
 
-    blen, ll = optimize_branch_lengths(codes, arr, model,
-                                       site_weights=w, steps=bl_steps)
-    arr.blen[:] = blen
-    children = arr.children.copy()
+    use_ckpt = store is not None and ckpt_key is not None
+    state = store.load(ckpt_key) if use_ckpt and store.has(ckpt_key) \
+        else None
+    if state is None:
+        blen, ll = optimize_branch_lengths(codes, arr, model,
+                                           site_weights=w,
+                                           steps=bl_steps)
+        arr.blen[:] = blen
+        children = arr.children.copy()
+        rounds_done, spr_left = 0, spr_rounds
+        if use_ckpt:
+            store.save(ckpt_key, (children, arr.blen.copy(), ll,
+                                  rounds_done, spr_left))
+    else:
+        children, blen_ck, ll, rounds_done, spr_left = state
+        arr = TreeArrays(children, blen_ck, arr.node_of_tree_node,
+                         arr.taxa)
+        log.info("ml_tree: resumed at round %d (LL %.3f)",
+                 rounds_done, ll)
 
     from pepr_tpu.ops.likelihood import _norm_chunk
     margs = (jnp.asarray(model.eig), jnp.asarray(model.u),
@@ -467,10 +491,17 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
                                             site_weights=w, steps=steps)
         arr.blen[:] = b
         ll = new_ll
+        if use_ckpt:  # every reopt is an accepted state change
+            store.save(ckpt_key, (children, arr.blen.copy(), ll,
+                                  rounds_done, spr_left))
 
-    spr_left = spr_rounds
-    rounds_done = 0
     while rounds_done < nni_rounds:
+        if deadline is not None and deadline.near(90.0):
+            if use_ckpt:
+                store.save(ckpt_key, (children, arr.blen.copy(), ll,
+                                      rounds_done, spr_left))
+            from pepr_tpu.pipeline.checkpoint import Incomplete
+            raise Incomplete(f"full-tree NNI round {rounds_done}")
         rounds_done += 1
         moves = _nni_moves(children, n_leaves)
         if max_candidates is not None and len(moves) > max_candidates:

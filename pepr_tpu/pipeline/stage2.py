@@ -214,7 +214,9 @@ def run_stage2(sets: list[SequenceSet],
             nni_rounds=(2 if fast else cfg.nni_rounds),
             bl_steps=(60 if fast else cfg.bl_steps),
             bl_refine_steps=(30 if fast else max(cfg.bl_steps // 3, 40)),
-            spr_rounds=(1 if fast else 2))
+            spr_rounds=(1 if fast else 2),
+            store=store, deadline=deadline,
+            ckpt_key="full_tree_state")
         return to_newick(t), ll
 
     from pepr_tpu.tree import parse_newick
@@ -234,6 +236,7 @@ def run_stage2(sets: list[SequenceSet],
     reps = support_trees(
         cat, cfg.support_reps, cfg.seed, model=model,
         method=cfg.support_method, fraction=cfg.jackknife_fraction,
+        nni_rounds=cfg.nni_rounds, bl_steps=cfg.bl_steps,
         store=store, deadline=deadline,
         on_progress=lambda r: log.info("stage2: support tree %d done", r))
     timings["support_trees"] = time.time() - t0
