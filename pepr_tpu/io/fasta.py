@@ -120,17 +120,22 @@ class SequenceSet:
         return [decode(s) for s in self.seqs]
 
 
-def read_fasta(path: str, name: str | None = None) -> SequenceSet:
+def read_fasta(path: str, name: str | None = None,
+               alphabet: str = "aa") -> SequenceSet:
+    """alphabet="nt" encodes with the nucleotide LUT (ACGT=0-3) for
+    the blastn-equivalent pipeline (BlastRunner.java:603-706 role)."""
     stem = os.path.basename(path)
-    for suffix in (".faa", ".fasta", ".fa"):
+    for suffix in (".faa", ".fna", ".fasta", ".fa"):
         if stem.endswith(suffix):
             stem = stem[: -len(suffix)]
             break
-    try:  # native scanner (pepr_tpu/native/fastio.cpp) when available
-        from pepr_tpu.native import native_read_fasta
-        got = native_read_fasta(path)
-    except Exception:
-        got = None
+    got = None
+    if alphabet == "aa":
+        try:  # native scanner (pepr_tpu/native/fastio.cpp); AA-only LUT
+            from pepr_tpu.native import native_read_fasta
+            got = native_read_fasta(path)
+        except Exception:
+            got = None
     if got is not None:
         titles, seqs = got
         return SequenceSet(name or stem, titles, seqs, source_path=path)
@@ -148,12 +153,11 @@ def read_fasta(path: str, name: str | None = None) -> SequenceSet:
                 chunks.append(cur)
             elif cur is not None:
                 cur.append(line)
-    seqs = [encode("".join(c)) for c in chunks]
-    stem = os.path.basename(path)
-    for suffix in (".faa", ".fasta", ".fa"):
-        if stem.endswith(suffix):
-            stem = stem[: -len(suffix)]
-            break
+    if alphabet == "nt":
+        from pepr_tpu.alphabet import encode_nt
+        seqs = [encode_nt("".join(c)) for c in chunks]
+    else:
+        seqs = [encode("".join(c)) for c in chunks]
     return SequenceSet(name or stem, titles, seqs, source_path=path)
 
 

@@ -83,21 +83,27 @@ def _pow2_len(x: int, lo: int = 128, hi: int = 4096) -> int:
     return int(max(lo, 2 ** int(np.ceil(np.log2(x)))))
 
 
-@functools.partial(jax.jit, static_argnames=("blq", "blt"))
+@functools.partial(jax.jit, static_argnames=("blq", "blt", "gap_open",
+                                             "gap_extend"))
 def _sw_gather_call(codes_all: jax.Array, q_idx: jax.Array,
-                    t_idx: jax.Array, sub: jax.Array, blq: int, blt: int):
+                    t_idx: jax.Array, sub: jax.Array, blq: int, blt: int,
+                    gap_open: int = 11, gap_extend: int = 1):
     """Gather a pair batch from the device-resident code matrix and run
     SW — only the (B,) index vectors cross the host-device link."""
     from pepr_tpu.ops.smith_waterman import sw_align_batch_fast
     qb = codes_all[q_idx, :blq]
     tb = codes_all[t_idx, :blt]
-    return sw_align_batch_fast(qb, tb, sub)
+    return sw_align_batch_fast(qb, tb, sub, gap_open=gap_open,
+                               gap_extend=gap_extend)
 
 
 def _bucketed_sw(seqs_or_universe, pairs_q: np.ndarray,
                  pairs_t: np.ndarray, batch_size: int = 4096,
                  max_len: int = 4096, store=None, deadline=None,
-                 ckpt_key: str | None = None) -> dict[str, np.ndarray]:
+                 ckpt_key: str | None = None,
+                 sub: np.ndarray | None = None,
+                 gap_open: int = 11,
+                 gap_extend: int = 1) -> dict[str, np.ndarray]:
     """Run SW on an arbitrary pair list over a sequence collection
     (a plain list of int8 code arrays, or anything with .seqs).
 
@@ -113,7 +119,7 @@ def _bucketed_sw(seqs_or_universe, pairs_q: np.ndarray,
     """
     seqs = seqs_or_universe if isinstance(seqs_or_universe, list) \
         else seqs_or_universe.seqs
-    sub = jnp.asarray(kernel_matrix())
+    sub = jnp.asarray(kernel_matrix() if sub is None else sub)
     n_pairs = len(pairs_q)
     out = {k: np.zeros(n_pairs, dtype=np.float32)
            for k in ("score", "matches", "length")}
@@ -196,7 +202,9 @@ def _bucketed_sw(seqs_or_universe, pairs_q: np.ndarray,
             qi[:B] = eff_q[chunk]
             ti[:B] = eff_t[chunk]
             res = _sw_gather_call(codes_all, jnp.asarray(qi),
-                                  jnp.asarray(ti), sub, blq, blt)
+                                  jnp.asarray(ti), sub, blq, blt,
+                                  gap_open=gap_open,
+                                  gap_extend=gap_extend)
             _consume(dq.submit((chunk, B, key), res))
             n_run += 1
             if use_ckpt and _time.time() - last_save > 60.0:
@@ -221,17 +229,32 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
                       profile_dim: int = 1024,
                       batch_size: int = 4096,
                       store=None,
-                      deadline=None) -> tuple[ProteinUniverse, HitTable]:
+                      deadline=None,
+                      alphabet: str = "aa") -> tuple[ProteinUniverse,
+                                                     HitTable]:
     """Find, for every protein, its best hit in every genome (including
-    its own), with blat-equivalent thresholds."""
+    its own), with blat-equivalent thresholds.
+
+    alphabet="nt" switches to the blastn-equivalent nucleotide search
+    (BlastRunner.java:603-706): +1/-3 match/mismatch scores, 5/2 affine
+    gaps, blastn Karlin-Altschul statistics, and longer k-mers for the
+    prefilter (the 4-letter alphabet needs ~k=12 for the same
+    specificity the protein k-mers get at k=5)."""
     import logging
     import time as _time
     log = logging.getLogger("pepr_tpu")
     universe = ProteinUniverse.build(genomes)
+    is_nt = alphabet == "nt"
+    if is_nt:
+        from pepr_tpu.data.nt_scores import (NT_GAP_EXTEND, NT_GAP_OPEN,
+                                             nt_kernel_matrix,
+                                             nt_raw_to_bit_score)
 
     def _cands():
         _t = _time.time()
-        profiles = kmer_profiles(universe.seqs, dim=profile_dim)
+        from pepr_tpu.ops.kmer_filter import DEFAULT_K
+        profiles = kmer_profiles(universe.seqs, dim=profile_dim,
+                                 k=12 if is_nt else DEFAULT_K)
         log.info("homology: %d profiles in %.1fs", universe.n,
                  _time.time() - _t)
         _t = _time.time()
@@ -247,7 +270,10 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
         if store is not None else _cands()
     _t = _time.time()
     res = _bucketed_sw(universe, pairs_q, pairs_t, batch_size=batch_size,
-                       store=store, deadline=deadline, ckpt_key="s1_sw_out")
+                       store=store, deadline=deadline, ckpt_key="s1_sw_out",
+                       sub=nt_kernel_matrix() if is_nt else None,
+                       gap_open=NT_GAP_OPEN if is_nt else 11,
+                       gap_extend=NT_GAP_EXTEND if is_nt else 1)
     log.info("homology: SW on %d pairs in %.1fs", len(pairs_q),
              _time.time() - _t)
 
@@ -268,7 +294,7 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
     kraw = raw[keep]
     kmatch = res["matches"][keep]
     klen = np.maximum(res["length"][keep], 1)
-    bits = raw_to_bit_score(kraw)
+    bits = nt_raw_to_bit_score(kraw) if is_nt else raw_to_bit_score(kraw)
     ev = bit_score_to_evalue(bits, universe.lengths[kq],
                              genome_res[universe.genome_of[kt]])
     ident = 100.0 * kmatch / klen

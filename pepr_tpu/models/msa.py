@@ -100,7 +100,8 @@ def _pad_profiles(profs: list[np.ndarray], multiple: int = 64):
 def align_families(families: list[list[np.ndarray]], *,
                    gap_open: float = 11.0, gap_extend: float = 1.0,
                    batch_size: int = 256,
-                   length_multiple: int = 64) -> list[np.ndarray]:
+                   length_multiple: int = 64,
+                   core: np.ndarray | None = None) -> list[np.ndarray]:
     """Align many families; returns (n_i, L_i) int8 matrices.
 
     Merges across families are executed in waves: every family exposes
@@ -194,7 +195,9 @@ def align_families(families: list[list[np.ndarray]], *,
                 res = nw_profile_batch(
                     jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(l1),
                     jnp.asarray(l2), gap_open=gap_open,
-                    gap_extend=gap_extend, packed=True)
+                    gap_extend=gap_extend, packed=True,
+                    core_matrix=None if core is None
+                    else jnp.asarray(core))
                 _consume(dq.submit((chunk, L1, l1, l2), res))
         _consume(dq.drain())
 

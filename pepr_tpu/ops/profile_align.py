@@ -38,7 +38,8 @@ def blosum_core(dtype=np.float32) -> np.ndarray:
 def nw_profile_batch(p1: jax.Array, p2: jax.Array, l1: jax.Array,
                      l2: jax.Array, gap_open: float = 11.0,
                      gap_extend: float = 1.0,
-                     term_scale: float = 0.5, packed: bool = False):
+                     term_scale: float = 0.5, packed: bool = False,
+                     core_matrix: jax.Array | None = None):
     """Global affine alignment of profile pairs.
 
     Args:
@@ -64,7 +65,8 @@ def nw_profile_batch(p1: jax.Array, p2: jax.Array, l1: jax.Array,
 
     go = jnp.float32(gap_open)
     ge = jnp.float32(gap_extend)
-    core = jnp.asarray(blosum_core())
+    core = jnp.asarray(blosum_core()) if core_matrix is None \
+        else core_matrix
 
     # (B, 20, L2) substitution-transformed profile 2
     p2b = jnp.einsum("ab,njb->naj", core, p2,

@@ -42,8 +42,15 @@ class PeprConfig:
     min_taxa: int | None = None
     max_taxa: int | None = None
     target_sets: int | None = None
+    # "nt": nucleotide pipeline — blastn-equivalent homology search,
+    # NT-scored alignment, GTR+Gamma trees (propagated to both stages)
+    alphabet: str = "aa"
     stage1: Stage1Config = field(default_factory=Stage1Config)
     stage2: Stage2Config = field(default_factory=Stage2Config)
+
+    def __post_init__(self):
+        self.stage1.alphabet = self.alphabet
+        self.stage2.alphabet = self.alphabet
 
     # preset equivalent to the reference's default -track
     # (PhyloPipeline.java:1102-1147: blast/blat + bidirectional,
@@ -74,8 +81,9 @@ class PeprResult:
         return to_newick(self.tree)
 
 
-def _load_genomes(paths: list[str]) -> list[SequenceSet]:
-    return [read_fasta(p) for p in paths]
+def _load_genomes(paths: list[str],
+                  alphabet: str = "aa") -> list[SequenceSet]:
+    return [read_fasta(p, alphabet=alphabet) for p in paths]
 
 
 def run_pepr(cfg: PeprConfig,
@@ -102,9 +110,9 @@ def run_pepr(cfg: PeprConfig,
     deadline = Deadline(cfg.time_budget)
 
     if genomes is None:
-        genomes = _load_genomes(cfg.genome_files)
+        genomes = _load_genomes(cfg.genome_files, cfg.alphabet)
     if outgroup_pool is None:
-        outgroup_pool = _load_genomes(cfg.outgroup_files)
+        outgroup_pool = _load_genomes(cfg.outgroup_files, cfg.alphabet)
 
     s1cfg = replace(cfg.stage1, outgroup_count=cfg.outgroup_count)
 

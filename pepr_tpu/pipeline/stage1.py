@@ -49,6 +49,11 @@ class Stage1Config:
     unique_genus: bool = False
     homology_file: str | None = None  # precomputed blast8 results
     seed: int = 12345
+    # "nt" switches homology search to the blastn-equivalent scoring
+    # (BlastRunner.java:603-706).  repr=False keeps pre-r3 checkpoint
+    # fingerprints (which hash the dataclass repr) valid for protein
+    # runs; the genome files themselves are fingerprinted separately.
+    alphabet: str = field(default="aa", repr=False)
 
 
 @dataclass
@@ -79,7 +84,7 @@ def filter_duplicate_species(genomes: list[SequenceSet],
 
 
 def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
-                    cfg: Stage1Config):
+                    cfg: Stage1Config, alphabet: str = "aa"):
     """Score every outgroup-pool genome against the homolog groups.
 
     The role of HMMSetEnhancer's hmmsearch sweep (HMMSetEnhancer.java:
@@ -114,8 +119,10 @@ def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
         pool_genome.extend([gi] * len(g))
     pool_genome = np.array(pool_genome, dtype=np.int64)
 
-    prof_q = kmer_profiles(pool_seqs)
-    prof_t = kmer_profiles(target_seqs)
+    from pepr_tpu.ops.kmer_filter import DEFAULT_K
+    _k = 12 if alphabet == "nt" else DEFAULT_K
+    prof_q = kmer_profiles(pool_seqs, k=_k)
+    prof_t = kmer_profiles(target_seqs, k=_k)
     # top candidates per pool protein per target block
     cand_idx, _ = candidate_pairs(prof_q, prof_t, offsets,
                                   top_per_genome=3)
@@ -125,11 +132,23 @@ def score_outgroups(hg_sets: list[SequenceSet], pool: list[SequenceSet],
     if len(qs_arr) == 0:
         return [], {}
 
-    res = _bucketed_sw(pool_seqs + target_seqs,
-                       qs_arr.astype(np.int64),
-                       ts_arr + len(pool_seqs))
-    from pepr_tpu.data.blosum62 import raw_to_bit_score
-    bits = raw_to_bit_score(res["score"])
+    if alphabet == "nt":
+        from pepr_tpu.data.nt_scores import (NT_GAP_EXTEND, NT_GAP_OPEN,
+                                             nt_kernel_matrix,
+                                             nt_raw_to_bit_score)
+        res = _bucketed_sw(pool_seqs + target_seqs,
+                           qs_arr.astype(np.int64),
+                           ts_arr + len(pool_seqs),
+                           sub=nt_kernel_matrix(),
+                           gap_open=NT_GAP_OPEN,
+                           gap_extend=NT_GAP_EXTEND)
+        bits = nt_raw_to_bit_score(res["score"])
+    else:
+        res = _bucketed_sw(pool_seqs + target_seqs,
+                           qs_arr.astype(np.int64),
+                           ts_arr + len(pool_seqs))
+        from pepr_tpu.data.blosum62 import raw_to_bit_score
+        bits = raw_to_bit_score(res["score"])
 
     best: dict[tuple[int, int], tuple[float, int]] = {}
     for q, t, b in zip(qs_arr, ts_arr, bits):
@@ -181,7 +200,7 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
             genomes, hits_per_query=cfg.hits_per_query,
             evalue_cutoff=cfg.evalue_cutoff,
             min_identity=cfg.min_identity, min_score=cfg.min_score,
-            store=store, deadline=deadline)
+            store=store, deadline=deadline, alphabet=cfg.alphabet)
         return hits
 
     hits = store.cached("s1_hits", _hits) if store is not None else _hits()
@@ -224,7 +243,8 @@ def run_stage1(ingroup: list[SequenceSet], outgroup_pool: list[SequenceSet],
     selected_names: list[str] = []
     if outgroup_pool and cfg.outgroup_count > 0:
         t0 = time.time()
-        selected, best = score_outgroups(hg_sets, outgroup_pool, cfg)
+        selected, best = score_outgroups(hg_sets, outgroup_pool, cfg,
+                                         alphabet=cfg.alphabet)
         selected_names = [outgroup_pool[g].taxon for g in selected]
         pool_offsets = np.cumsum([0] + [len(g) for g in outgroup_pool])
         # add each selected genome's best member to each group

@@ -50,6 +50,9 @@ class Stage2Config:
     nni_rounds: int = 8
     bl_steps: int = 200
     seed: int = 12345
+    # "nt": align with blastn-style scores, build trees under GTR+Gamma
+    # (FastTree -gtr -nt role).  repr=False: see Stage1Config.alphabet.
+    alphabet: str = field(default="aa", repr=False)
 
 
 @dataclass
@@ -111,9 +114,15 @@ def run_stage2(sets: list[SequenceSet],
 
     def _align_and_trim():
         from pepr_tpu.models.msa import align_families_chunked
+        nt_kw = {}
+        if cfg.alphabet == "nt":
+            from pepr_tpu.data.nt_scores import (NT_GAP_EXTEND,
+                                                 NT_GAP_OPEN, nt_core)
+            nt_kw = dict(core=nt_core(), gap_open=float(NT_GAP_OPEN),
+                         gap_extend=float(NT_GAP_EXTEND))
         mats = align_families_chunked(
             [s.seqs for s in kept], store=store, deadline=deadline,
-            ckpt_key="s2_align_chunk")
+            ckpt_key="s2_align_chunk", **nt_kw)
         alignments = [Alignment(s.name, list(s.taxa), m,
                                 titles=list(s.titles))
                       for s, m in zip(kept, mats)]
@@ -189,7 +198,16 @@ def run_stage2(sets: list[SequenceSet],
         if deadline is not None and deadline.expired:
             raise Incomplete("matrix evaluation")
 
-    if model_name == "WAG":
+    if cfg.alphabet == "nt":
+        # GTR+Gamma with empirical base frequencies (FastTree -gtr -nt
+        # role, FastTreeRunner.java:67-77)
+        model_name = "GTR"
+        from pepr_tpu.alphabet import N_NT
+        counts = np.bincount(cat.mat[cat.mat < N_NT].ravel(),
+                             minlength=N_NT).astype(np.float64)
+        model = WagModel.gtr_nt(freqs=counts / max(counts.sum(), 1.0),
+                                alpha=alpha)
+    elif model_name == "WAG":
         model = WagModel.create(alpha=alpha)
     else:
         from pepr_tpu.models.treebuild import empirical_aa_freqs

@@ -128,11 +128,16 @@ def parse_newick(newick: str) -> Tree:
     blens: list[float] = []
     supports: list[float] = []
 
+    has_child: list[bool] = []
+
     def new_node(parent: int) -> int:
         parents.append(parent)
         labels.append(None)
         blens.append(math.nan)
         supports.append(math.nan)
+        has_child.append(False)
+        if parent >= 0:
+            has_child[parent] = True
         return len(parents) - 1
 
     i = 0
@@ -177,7 +182,7 @@ def parse_newick(newick: str) -> Tree:
                     j += 1
                 token = s[i:j].strip()
                 i = j
-            if len(parents) and not _has_children(parents, cur):
+            if len(parents) and not has_child[cur]:
                 labels[cur] = token
             else:
                 val = _try_float(token)
@@ -187,14 +192,6 @@ def parse_newick(newick: str) -> Tree:
                     labels[cur] = token
     return Tree(np.array(parents, dtype=np.int32), labels,
                 np.array(blens), np.array(supports))
-
-
-def _has_children(parents: list[int], node: int) -> bool:
-    # During parsing: node has children iff some later node points to it.
-    for p in parents[node + 1:]:
-        if p == node:
-            return True
-    return False
 
 
 # -- Newick serialization --------------------------------------------------
