@@ -59,14 +59,6 @@ def main() -> int:
         checkpoint_dir=os.path.join(HERE, "ery_ckpt"),
         time_budget=budget,
     )
-    # This run's stage 1 was computed (rounds 1-2, checkpointed) under
-    # the pre-r3 HMM calibration: raw Viterbi bits where 128 ~ the
-    # reference's -E 1e-40 cutoff.  r3 moved scoring to the HMMER bit
-    # scale with a 144-bit default; pin the original threshold so the
-    # config fingerprint (and the semantics of the cached stage-1
-    # scores) match the checkpoint.
-    cfg.stage1.hmm_min_bits = 128.0
-
     t0 = time.time()
     try:
         res = run_pepr(cfg)

@@ -100,8 +100,13 @@ def enhance_homolog_groups(hg_sets: list[SequenceSet],
             titles.append((gi, li))
     genome_of = np.array(genome_of, dtype=np.int64)
 
-    # 3. prefilter: consensus k-mer profiles in blocks
+    # 3. prefilter: exact-seed sharing vs group consensi, union'd with
+    # hashed-cosine profiles in blocks.  The seed stage is what gives
+    # the enhancer blat-level recall — the cosine profiles alone
+    # mis-rank ~half of true strong homologs (r3 measurement), and the
+    # enhancer cannot re-admit a member its prefilter never surfaces.
     def _pairs():
+        from pepr_tpu.ops.kmer_filter import seed_candidates
         prof_prot = kmer_profiles(seqs)
         prof_cons = kmer_profiles(consensi)
         block = 2048
@@ -112,9 +117,16 @@ def enhance_homolog_groups(hg_sets: list[SequenceSet],
         cand, _ = candidate_pairs(prof_prot, prof_cons, offsets,
                                   top_per_genome=candidates_per_block,
                                   min_sim=prefilter_min_sim)
-        p_i, _, _ = np.nonzero(cand >= 0)
-        h_i = cand[cand >= 0]
-        return list(zip(p_i.tolist(), h_i.tolist()))
+        seed = seed_candidates(seqs, consensi, offsets,
+                               top_per_genome=candidates_per_block)
+        p_c, _, _ = np.nonzero(cand >= 0)
+        h_c = cand[cand >= 0].astype(np.int64)
+        p_s, _, _ = np.nonzero(seed >= 0)
+        h_s = seed[seed >= 0].astype(np.int64)
+        nh = np.int64(max(len(consensi), 1))
+        key = np.unique(np.concatenate([p_c.astype(np.int64) * nh + h_c,
+                                        p_s.astype(np.int64) * nh + h_s]))
+        return list(zip((key // nh).tolist(), (key % nh).tolist()))
 
     pairs = store.cached("hmm_pairs", _pairs) if store is not None \
         else _pairs()

@@ -228,12 +228,30 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
                       prefilter_min_sim: float = 0.1,
                       profile_dim: int = 1024,
                       batch_size: int = 4096,
+                      seed_top_per_genome: int = 4,
+                      seed_k: int | None = None,
+                      seed_min_shared: int = 1,
+                      seed_max_df: int = 200,
                       store=None,
                       deadline=None,
                       alphabet: str = "aa") -> tuple[ProteinUniverse,
                                                      HitTable]:
     """Find, for every protein, its best hit in every genome (including
     its own), with blat-equivalent thresholds.
+
+    Candidate generation is the union of two stages, both feeding the
+    exact Smith-Waterman scorer:
+      (a) exact k-mer seed sharing (`ops.kmer_filter.seed_candidates`)
+          — the blat-faithful stage (blat -prot defaults: 5-residue
+          tiles, stepSize=1, a single shared tile seeds an extension;
+          BlatRunner.java:424-430), top `seed_top_per_genome` targets
+          per genome ranked by shared-tile count;
+      (b) hashed-cosine profile top-k (`candidate_pairs`) — a recall
+          backstop for diverged pairs whose conservation is spread
+          thinner than any exact 5-mer.
+    r3 measured that (b) alone mis-ranks ~half of the true strong
+    homologs at ery scale (universal single-copy genes landed in
+    3-taxon groups); (a) is what fixes stage-1 recall.
 
     alphabet="nt" switches to the blastn-equivalent nucleotide search
     (BlastRunner.java:603-706): +1/-3 match/mismatch scores, 5/2 affine
@@ -252,7 +270,7 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
 
     def _cands():
         _t = _time.time()
-        from pepr_tpu.ops.kmer_filter import DEFAULT_K
+        from pepr_tpu.ops.kmer_filter import DEFAULT_K, seed_candidates
         profiles = kmer_profiles(universe.seqs, dim=profile_dim,
                                  k=12 if is_nt else DEFAULT_K)
         log.info("homology: %d profiles in %.1fs", universe.n,
@@ -261,10 +279,26 @@ def search_all_vs_all(genomes: list[SequenceSet], *,
         cand_idx, _ = candidate_pairs(profiles, profiles, universe.offsets,
                                       top_per_genome=candidates_per_genome,
                                       min_sim=prefilter_min_sim)
-        log.info("homology: candidates in %.1fs", _time.time() - _t)
-        # flatten candidate list (vectorized)
-        q_i, _, _ = np.nonzero(cand_idx >= 0)
-        return (q_i.astype(np.int64), cand_idx[cand_idx >= 0].astype(np.int64))
+        log.info("homology: cosine candidates in %.1fs", _time.time() - _t)
+        _t = _time.time()
+        seed_idx = seed_candidates(
+            universe.seqs, universe.seqs, universe.offsets,
+            k=seed_k if seed_k is not None else (12 if is_nt else 5),
+            alphabet_size=4 if is_nt else 20,
+            min_shared=seed_min_shared,
+            top_per_genome=seed_top_per_genome, max_df=seed_max_df)
+        log.info("homology: seed candidates in %.1fs", _time.time() - _t)
+        # union of both candidate stages, deduped on (query, target)
+        q_c, _, _ = np.nonzero(cand_idx >= 0)
+        t_c = cand_idx[cand_idx >= 0].astype(np.int64)
+        q_s, _, _ = np.nonzero(seed_idx >= 0)
+        t_s = seed_idx[seed_idx >= 0].astype(np.int64)
+        q_all = np.concatenate([q_c.astype(np.int64), q_s.astype(np.int64)])
+        t_all = np.concatenate([t_c, t_s])
+        key = np.unique(q_all * np.int64(universe.n) + t_all)
+        log.info("homology: %d seed + %d cosine -> %d union pairs",
+                 len(q_s), len(q_c), len(key))
+        return key // universe.n, key % universe.n
 
     pairs_q, pairs_t = store.cached("s1_sw_pairs", _cands) \
         if store is not None else _cands()

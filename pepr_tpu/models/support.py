@@ -253,7 +253,7 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
                 codes_d, jnp.asarray(np.stack(cb)),
                 jnp.asarray(np.stack(bb)), *margs,
                 jnp.asarray(np.stack(wb)), chunk=site_chunk,
-                impl=forward_impl())
+                impl=forward_impl(codes_d.shape[0] + cb[0].shape[0]))
             scores[c0:c0 + n_real] = np.asarray(s)[:n_real]
         # accept per replicate: all improving non-conflicting moves
         cand_rep = np.array(cand_rep)

@@ -388,7 +388,9 @@ def _score_candidate_arrays(codes_d, w_d, margs, site_chunk: int,
         from pepr_tpu.ops.likelihood import forward_impl
         s = _score_topologies(codes_d, jnp.asarray(np.stack(cb)),
                               jnp.asarray(np.stack(bb)), *margs, w_d,
-                              chunk=site_chunk, impl=forward_impl())
+                              chunk=site_chunk,
+                              impl=forward_impl(codes_d.shape[0]
+                                                + cb[0].shape[0]))
         scores.extend(float(x) for x in np.asarray(s)[:n_real])
     return np.array(scores)
 

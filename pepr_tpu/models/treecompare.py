@@ -88,8 +88,8 @@ def per_site_log_likelihoods(trees: list[Tree], mat: np.ndarray,
              jnp.asarray(model.rates))
     codes = jnp.asarray(np.asarray(mat, np.int8))
     from pepr_tpu.ops.likelihood import forward_impl, loglik_sites_pallas
-    site_fn = loglik_sites_pallas if forward_impl() == "pallas" \
-        else loglik_sites
+    site_fn = loglik_sites_pallas \
+        if forward_impl(2 * len(taxa)) == "pallas" else loglik_sites
     for t in trees:
         arr = tree_to_arrays(t, taxa)
         ll = site_fn(codes, jnp.asarray(arr.children),

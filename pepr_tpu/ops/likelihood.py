@@ -211,15 +211,22 @@ def _norm_chunk(L: int, chunk: int) -> int:
 # block of sites — the speed-of-light layout — but has no VJP, so
 # gradient paths (branch-length optimization) always use the XLA scan.
 # Tests can pin the implementation via PEPR_LIKELIHOOD_IMPL=scan|pallas.
-def forward_impl() -> str:
+def forward_impl(n_nodes: int | None = None) -> str:
+    """Pick the forward engine.  With `n_nodes` given, falls back to
+    the scan when the site-tiled kernel's all-nodes-resident VMEM
+    layout cannot fit that tree size."""
     impl = os.environ.get("PEPR_LIKELIHOOD_IMPL")
-    if impl in ("scan", "pallas"):
-        return impl
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return "scan"
-    return "pallas" if platform in ("tpu", "axon") else "scan"
+    if impl not in ("scan", "pallas"):
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            return "scan"
+        impl = "pallas" if platform in ("tpu", "axon") else "scan"
+    if impl == "pallas" and n_nodes is not None:
+        from pepr_tpu.ops.pallas_pruning import pallas_fits
+        if not pallas_fits(n_nodes):
+            return "scan"
+    return impl
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -230,6 +237,7 @@ def loglik_sites_pallas(codes: jax.Array, children: jax.Array,
     signature/semantics as loglik_sites)."""
     from pepr_tpu.alphabet import PAD
     from pepr_tpu.ops.pallas_pruning import (A_PAD, S_TILE,
+                                             block_diag_pmats,
                                              pruning_site_ll_pallas)
 
     n_leaves, L = codes.shape
@@ -243,9 +251,7 @@ def loglik_sites_pallas(codes: jax.Array, children: jax.Array,
         jnp.einsum("ab,cvb,bd->cvad", u, ex, u_inv,
                    precision=jax.lax.Precision.HIGHEST),
         0.0)  # (C, V, 20, 20)
-    C, V = pm.shape[:2]
-    pmp = jnp.zeros((C, V, A_PAD, A_PAD), jnp.float32)
-    pmp = pmp.at[:, :, :N_AA, :N_AA].set(pm)
+    pmp = block_diag_pmats(pm)  # (V, CA, CA)
     pip = jnp.zeros((1, A_PAD), jnp.float32).at[0, :N_AA].set(pi)
     ll = pruning_site_ll_pallas(codes_p, children.astype(jnp.int32),
                                 pmp, pip, interpret=interpret)
@@ -302,12 +308,14 @@ def loglik(codes, children, blen, model: WagModel,
     L = codes.shape[1]
     w = jnp.ones(L, jnp.float32) if site_weights is None \
         else jnp.asarray(site_weights, jnp.float32)
+    children = jnp.asarray(children)
     return loglik_weighted(
-        codes, jnp.asarray(children), jnp.asarray(blen),
+        codes, children, jnp.asarray(blen),
         jnp.asarray(model.eig), jnp.asarray(model.u),
         jnp.asarray(model.u_inv), jnp.asarray(model.pi),
         jnp.asarray(model.rates), w, chunk=_norm_chunk(L, chunk),
-        remat=False, impl=forward_impl())
+        remat=False,
+        impl=forward_impl(codes.shape[0] + children.shape[0]))
 
 
 # -- Tree <-> kernel array conversion -------------------------------------

@@ -1,217 +1,237 @@
 """Pallas TPU kernel for batched affine-gap Smith-Waterman.
 
-The XLA wavefront (ops/smith_waterman.py) is bound by per-step
-`lax.scan` dispatch overhead (~80us/diagonal on the tunneled backend:
-512x256x256 batches ran at 0.8 GCUPS).  This kernel runs the whole
-wavefront as a `fori_loop` inside one grid program with every DP state
-vector resident in VMEM, so a diagonal step costs VPU work only.
+Row-sequential scan formulation (r4 redesign; the r3 anti-diagonal
+wavefront lost to its own XLA fallback because it rebuilt a one-hot
+substitution lookup every diagonal).  This kernel walks the TARGET
+axis one position per step with the query axis on the 128-wide lanes:
 
-Grid: one program per TB-pair tile.  Layout: the query axis rides the
-128-wide lanes, pairs ride sublanes.  Per-diagonal substitution scores
-come from a one-hot compare-and-sum against the per-program
-query-substitution slab (built once per program with an MXU contraction
-— same no-gather discipline as the XLA kernel).
+- substitution scores come from a per-chunk slab S[b, j, i] =
+  sub[t[b, j], q[b, i]] built with MXU one-hot contractions (two small
+  matmuls per pair per chunk, amortized over the chunk's steps) — the
+  inner loop only reads lane-aligned slab rows;
+- the within-row gap state F (gap consuming the query) is the one
+  dependency a row step can't vectorize directly; it is computed
+  EXACTLY from the gap-open candidates with a Kogge-Stone max-scan
+  over lanes (log2(Lq) shifted maxes).  Replacing H with the
+  F-less H0 in the F recurrence is exact whenever gap_open >
+  gap_extend >= 0 (opening from an F-derived cell always loses to
+  extending the same gap), which holds for both production parameter
+  sets (blastp 11/1, blastn 5/2);
+- the DP runs in int32 (all scores are integers), and the
+  match/length trackers ride ONE packed int32 per state
+  ((matches << 16) | length), halving tracker traffic.
 
-Semantics are identical to sw_align_batch (scores, match/length
-trackers, best-cell coordinates), verified in interpret mode by
-tests/test_pallas_sw.py.  Reference role: the blat/blastall all-vs-all
-scorer (BlatRunner.java:424-430).
+Lt steps instead of the wavefront's Lq+Lt-1, no per-step one-hot.
+Semantics are identical to sw_align_batch up to tie-breaking of
+equal-scoring best cells (this kernel scans target-major, the XLA
+wavefront diagonal-major), verified by tests/test_pallas_sw.py.
+Reference role: the blat/blastall all-vs-all scorer
+(BlatRunner.java:424-430).
 """
 
 from __future__ import annotations
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -1e9
-N_SUB = 32  # substitution codes padded to a sublane multiple
-TB = 8  # pairs per grid program
+NEG = -(1 << 24)
+N_SUB = 32  # substitution codes padded to a lane-friendly size
+LEN_BIAS = 1 << 14  # keeps the packed length field positive mid-scan
+TC = 128  # slab chunk height (Mosaic needs a full-lane minor dim)
 
 
-def _shift_lanes(x, fill):
-    """x[..., i] -> x[..., i-1] with `fill` at lane 0 (the wavefront's
-    "row i-1" feed; circular roll + masked fix of lane 0)."""
-    rolled = pltpu.roll(x, 1, axis=x.ndim - 1)
+def _tile_pairs(Lq: int) -> int:
+    """Pairs per grid program: the per-step vector-op COUNT is
+    independent of the tile height, so a tall tile amortizes per-op
+    issue overhead over more sublanes (TB=8 ran 1.8 GCUPS, TB=32 ran
+    3.4 on the same chip/shape).  Bounded so the packed score slab
+    (tb, TC, Lq) int32 stays within ~8 MB of VMEM."""
+    return int(max(8, min(64, (1 << 14) // max(Lq, 1))))
+
+
+def _shift(x, n, fill):
+    """x[..., i] -> x[..., i-n] with `fill` in lanes < n (circular
+    roll + masked fix of the wrapped lanes)."""
+    rolled = pltpu.roll(x, n, axis=x.ndim - 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.where(lane == 0, fill, rolled)
+    return jnp.where(lane < n, fill, rolled)
 
 
-def _kernel(q_ref, t_rp_ref, sub_ref, score_ref, match_ref, len_ref,
-            qend_ref, diag_ref, troll, subq, h1, h2, e1, f1, mh1, mh2,
-            me1, mf1, lh1, lh2, le1, lf1):
+def _kernel(q_ref, t_ref, sub_ref, score_ref, ml_ref, pos_ref,
+            sslab, H, E, MLH, MLE, BV, BML, BJ,
+            *, go: int, ge: int, tc: int, tb: int):
     Lq = q_ref.shape[1]
-    D = t_rp_ref.shape[1]
-    Lt = D - 2 * Lq + 1
-    gap_open = jnp.float32(11.0)
-    gap_extend = jnp.float32(1.0)
+    Lt = t_ref.shape[1]
+    n_chunks = Lt // tc
+    n_scan = max(Lq.bit_length() - 1, 1)  # log2(Lq)
 
-    # Mosaic cannot lower lane-dim dynamic slices at non-128-aligned
-    # offsets, so instead of slicing the reversed target per diagonal
-    # we keep a rolling copy in VMEM: lane [0, Lq) IS the diagonal-k
-    # window after k single-lane rolls (start offset decreases by one
-    # per wavefront step).
-    start0 = Lq + Lt - 2  # diagonal-0 window offset in t_rp
-    troll[...] = pltpu.roll(t_rp_ref[...].astype(jnp.int32),
-                            D - start0, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, Lq), 1)
+    code_q = jax.lax.broadcasted_iota(jnp.int32, (N_SUB, Lq), 0)
+    code_t = jax.lax.broadcasted_iota(jnp.int32, (N_SUB, tc), 0)
 
-    qc = q_ref[...].astype(jnp.int32)  # (TB, Lq)
-    # per-program substitution slab: subq[b, a, i] = sub[a, q[b, i]]
-    # built once via one-hot (TB, N_SUB, Lq)
-    code_ax = jax.lax.broadcasted_iota(jnp.int32, (TB, N_SUB, Lq), 1)
-    q1h = (qc[:, None, :] == code_ax).astype(jnp.float32)
-    for b in range(TB):
-        subq[b] = jnp.dot(sub_ref[...], q1h[b],
-                          preferred_element_type=jnp.float32)
+    zi = jnp.zeros((tb, Lq), jnp.int32)
+    H[...] = zi
+    E[...] = zi + NEG
+    MLH[...] = zi
+    MLE[...] = zi
+    BV[...] = zi
+    BML[...] = zi
+    BJ[...] = zi
 
-    zf = jnp.zeros((TB, Lq), jnp.float32)
-    zi = jnp.zeros((TB, Lq), jnp.float32)
-    h1[...] = zf
-    h2[...] = zf
-    e1[...] = zf + NEG
-    f1[...] = zf + NEG
-    for r in (mh1, mh2, me1, mf1, lh1, lh2, le1, lf1):
-        r[...] = zi
+    def chunk_body(c, _):
+        j0 = c * tc
+        # per-pair slab build: ONE MXU contraction per pair yields the
+        # packed slab 2*sub[t[j], q[i]] + (t[j]==q[i]) (score and
+        # match indicator share the int32; amortized over tc steps)
+        for b in range(tb):
+            qc = q_ref[pl.ds(b, 1), :].astype(jnp.int32)  # (1, Lq)
+            tcodes = t_ref[pl.ds(b, 1), pl.ds(j0, tc)].astype(jnp.int32)
+            q1h = (qc == code_q).astype(jnp.float32)  # (N_SUB, Lq)
+            t1h = (tcodes == code_t).astype(jnp.float32)  # (N_SUB, tc)
+            subq = jnp.dot(sub_ref[...], q1h,
+                           preferred_element_type=jnp.float32)
+            sm_c = jax.lax.dot_general(
+                t1h, 2.0 * subq + q1h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (tc, Lq)
+            sslab[b] = sm_c.astype(jnp.int32)
 
-    score_ref[...] = jnp.zeros((TB, 1), jnp.float32)
-    match_ref[...] = jnp.zeros((TB, 1), jnp.float32)
-    len_ref[...] = jnp.zeros((TB, 1), jnp.float32)
-    qend_ref[...] = jnp.zeros((TB, 1), jnp.float32)
-    diag_ref[...] = jnp.zeros((TB, 1), jnp.float32)
+        def step(jj, _):
+            sm = sslab[:, pl.ds(jj, 1), :][:, 0, :]  # (TB, Lq)
+            s = sm >> 1  # floor halving recovers the score exactly
+            msp = ((sm & 1) << 16) + 1
+            Hp, Ep = H[...], E[...]
+            MLHp, MLEp = MLH[...], MLE[...]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Lq), 1)
+            # E: gap consuming the target (same lane, previous step)
+            e_open = Hp - go
+            e_ext = Ep - ge
+            take_e = e_open >= e_ext
+            e = jnp.maximum(e_open, e_ext)
+            mle = jnp.where(take_e, MLHp, MLEp) + 1
 
-    def step(k, _):
-        # target codes along diagonal k (ascending in query index i):
-        # the first Lq lanes of the rolling window
-        td = troll[:, :Lq]  # (TB, Lq) int32
-        # s[b, i] = subq[b, td[b, i], i] via one-hot compare-and-sum
-        td1h = (td[:, None, :] == code_ax).astype(jnp.float32)
-        s = jnp.sum(subq[...] * td1h, axis=1)
+            # diagonal: previous step, lane i-1
+            diag = _shift(Hp, 1, 0) + s
+            mldiag = _shift(MLHp, 1, 0) + msp
 
-        h1v, h2v, e1v, f1v = h1[...], h2[...], e1[...], f1[...]
-        mh1v, mh2v, me1v, mf1v = mh1[...], mh2[...], me1[...], mf1[...]
-        lh1v, lh2v, le1v, lf1v = lh1[...], lh2[...], le1[...], lf1[...]
+            h0 = jnp.maximum(diag, jnp.maximum(e, 0))
+            ml0 = jnp.where(h0 == diag, mldiag,
+                            jnp.where(h0 == e, mle, 0))
+            ml0 = jnp.where(h0 <= 0, 0, ml0)
 
-        h2s = _shift_lanes(h2v, 0.0)
-        mh2s = _shift_lanes(mh2v, 0.0)
-        lh2s = _shift_lanes(lh2v, 0.0)
-        h1s = _shift_lanes(h1v, 0.0)
-        mh1s = _shift_lanes(mh1v, 0.0)
-        lh1s = _shift_lanes(lh1v, 0.0)
-        f1s = _shift_lanes(f1v, jnp.float32(NEG))
-        mf1s = _shift_lanes(mf1v, 0.0)
-        lf1s = _shift_lanes(lf1v, 0.0)
+            # F: gap consuming the query — exact via exclusive
+            # Kogge-Stone max-scan of the open candidates
+            a = h0 - go + ge * lane
+            mla = ml0 + (LEN_BIAS - lane)
+            p = _shift(a, 1, NEG)
+            mlp = _shift(mla, 1, 0)
+            for sh in range(n_scan):
+                pv = _shift(p, 1 << sh, NEG)
+                mlv = _shift(mlp, 1 << sh, 0)
+                take = pv > p  # ties keep the more recent open
+                p = jnp.where(take, pv, p)
+                mlp = jnp.where(take, mlv, mlp)
+            f = p - ge * lane + ge
+            mlf = mlp + (lane - LEN_BIAS)
 
-        e_open = h1v - gap_open
-        e_ext = e1v - gap_extend
-        e = jnp.maximum(e_open, e_ext)
-        eo = e_open >= e_ext
-        me = jnp.where(eo, mh1v, me1v)
-        le = jnp.where(eo, lh1v, le1v) + 1.0
+            use_f = f > h0
+            h = jnp.where(use_f, f, h0)
+            mlh = jnp.where(use_f, mlf, ml0)
 
-        f_open = h1s - gap_open
-        f_ext = f1s - gap_extend
-        f = jnp.maximum(f_open, f_ext)
-        fo = f_open >= f_ext
-        mf = jnp.where(fo, mh1s, mf1s)
-        lf = jnp.where(fo, lh1s, lf1s) + 1.0
+            # per-LANE running best (no cross-lane reductions in the
+            # inner loop; one final argmax after the sweep)
+            improved = h > BV[...]
+            BV[...] = jnp.where(improved, h, BV[...])
+            BML[...] = jnp.where(improved, mlh, BML[...])
+            BJ[...] = jnp.where(improved, jnp.full_like(h, j0 + jj),
+                                BJ[...])
 
-        diag = h2s + s
-        is_match = (qc == td).astype(jnp.float32)
-        mdiag = mh2s + is_match
-        ldiag = lh2s + 1.0
+            H[...], E[...] = h, e
+            MLH[...], MLE[...] = mlh, mle
+            return 0
 
-        h = jnp.maximum(jnp.maximum(diag, e), jnp.maximum(f, 0.0))
-        mh = jnp.where(h == diag, mdiag,
-                       jnp.where(h == e, me, jnp.where(h == f, mf, 0.0)))
-        lh = jnp.where(h == diag, ldiag,
-                       jnp.where(h == e, le, jnp.where(h == f, lf, 0.0)))
-        mh = jnp.where(h <= 0.0, 0.0, mh)
-        lh = jnp.where(h <= 0.0, 0.0, lh)
-
-        # per-pair best cell of this diagonal (one-hot argmax selection).
-        # First-match tie-break via a min-index reduction: cumsum does
-        # not lower on TPU Pallas (BENCH_r02), min/iota/where do.
-        row_best = jnp.max(h, axis=1, keepdims=True)  # (TB, 1)
-        best_lane = jnp.min(jnp.where(h == row_best, lane, Lq),
-                            axis=1, keepdims=True)  # (TB, 1)
-        is_best = lane == best_lane
-        sel_m = jnp.sum(jnp.where(is_best, mh, 0.0), axis=1,
-                        keepdims=True)
-        sel_l = jnp.sum(jnp.where(is_best, lh, 0.0), axis=1,
-                        keepdims=True)
-        sel_i = jnp.sum(jnp.where(is_best, lane.astype(jnp.float32),
-                                  0.0), axis=1, keepdims=True)
-        improved = row_best > score_ref[...]
-        score_ref[...] = jnp.where(improved, row_best, score_ref[...])
-        match_ref[...] = jnp.where(improved, sel_m, match_ref[...])
-        len_ref[...] = jnp.where(improved, sel_l, len_ref[...])
-        qend_ref[...] = jnp.where(improved, sel_i, qend_ref[...])
-        diag_ref[...] = jnp.where(
-            improved, jnp.full((TB, 1), k, jnp.float32), diag_ref[...])
-
-        h1[...], h2[...] = h, h1v
-        e1[...], f1[...] = e, f
-        mh1[...], mh2[...] = mh, mh1v
-        me1[...], mf1[...] = me, mf
-        lh1[...], lh2[...] = lh, lh1v
-        le1[...], lf1[...] = le, lf
-        troll[...] = pltpu.roll(troll[...], 1, axis=1)
+        jax.lax.fori_loop(0, tc, step, 0)
         return 0
 
-    jax.lax.fori_loop(0, Lq + Lt - 1, step, 0)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # final cross-lane argmax (first best lane; its earliest target row)
+    bv = BV[...]
+    row_best = jnp.max(bv, axis=1, keepdims=True)
+    best_lane = jnp.min(jnp.where(bv == row_best, lane, Lq),
+                        axis=1, keepdims=True)
+    is_best = lane == best_lane
+    score_ref[...] = row_best
+    ml_ref[...] = jnp.sum(jnp.where(is_best, BML[...], 0), axis=1,
+                          keepdims=True)
+    sel_j = jnp.sum(jnp.where(is_best, BJ[...], 0), axis=1,
+                    keepdims=True)
+    pos_ref[...] = best_lane + (sel_j << 16)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chunk_rows(Lt: int) -> int:
+    """Target-chunk height: TC lanes when the target is long enough
+    (Mosaic rejects sub-128 minor dims on real hardware; shorter
+    targets only occur in interpret-mode tests)."""
+    tc = min(Lt, TC)
+    while Lt % tc:
+        tc //= 2
+    return max(tc, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend",
+                                             "interpret"))
 def sw_align_batch_pallas(q: jax.Array, t: jax.Array, sub: jax.Array,
+                          gap_open: int = 11, gap_extend: int = 1,
                           interpret: bool = False) -> dict:
-    """Drop-in for sw_align_batch (gap_open=11, gap_extend=1 — the
-    pipeline's fixed blat-equivalent costs)."""
+    """Drop-in for sw_align_batch.  Requires gap_open > gap_extend >= 0
+    (both production parameter sets qualify; see module docstring)."""
+    if not gap_open > gap_extend >= 0:
+        raise ValueError("scan-formulation SW needs gap_open > "
+                         "gap_extend >= 0")
     B, Lq = q.shape
     Lt = t.shape[1]
-    Bp = -(-B // TB) * TB
+    tb = _tile_pairs(Lq)
+    Bp = -(-B // tb) * tb
     if Bp != B:
         q = jnp.pad(q, ((0, Bp - B), (0, 0)), constant_values=N_SUB - 1)
         t = jnp.pad(t, ((0, Bp - B), (0, 0)), constant_values=N_SUB - 1)
-    subp = jnp.full((N_SUB, N_SUB), -1e4, jnp.float32)
+    subp = jnp.full((N_SUB, N_SUB), -(1 << 16), jnp.float32)
     subp = subp.at[: sub.shape[0], : sub.shape[1]].set(sub)
-    # reversed+padded targets (same layout as the XLA wavefront)
-    pad_code = jnp.full((Bp, Lq), N_SUB - 1, dtype=q.dtype)
-    t_rp = jnp.concatenate(
-        [pad_code[:, : Lq - 1], t[:, ::-1], pad_code], axis=1)
 
-    grid = (Bp // TB,)
-    D = t_rp.shape[1]
-    out_shapes = [jax.ShapeDtypeStruct((Bp, 1), jnp.float32)
-                  for _ in range(5)]
-    scratch = [pltpu.VMEM((TB, D), jnp.int32),
-               pltpu.VMEM((TB, N_SUB, Lq), jnp.float32)] + \
-        [pltpu.VMEM((TB, Lq), jnp.float32) for _ in range(12)]
-    score, match, length, qend, diag = pl.pallas_call(
-        _kernel,
+    tc = _chunk_rows(Lt)
+    grid = (Bp // tb,)
+    out_shapes = [jax.ShapeDtypeStruct((Bp, 1), jnp.int32)
+                  for _ in range(3)]
+    scratch = [pltpu.VMEM((tb, tc, Lq), jnp.int32)] + \
+        [pltpu.VMEM((tb, Lq), jnp.int32) for _ in range(7)]
+    kern = functools.partial(_kernel, go=int(gap_open),
+                             ge=int(gap_extend), tc=tc, tb=tb)
+    score, ml, pos = pl.pallas_call(
+        kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, Lq), lambda i: (i, 0),
+            pl.BlockSpec((tb, Lq), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, D), lambda i: (i, 0),
+            pl.BlockSpec((tb, Lt), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_SUB, N_SUB), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 3,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(q, t_rp, subp)
-    q_end = qend[:B, 0].astype(jnp.int32)
-    k = diag[:B, 0].astype(jnp.int32)
-    return {"score": score[:B, 0],
-            "matches": match[:B, 0].astype(jnp.int32),
-            "length": length[:B, 0].astype(jnp.int32),
-            "q_end": q_end, "t_end": k - q_end}
+    )(q, t, subp)
+    score = score[:B, 0]
+    ml = ml[:B, 0]
+    pos = pos[:B, 0]
+    return {"score": score.astype(jnp.float32),
+            "matches": ml >> 16,
+            "length": ml & 0xFFFF,
+            "q_end": pos & 0xFFFF,
+            "t_end": pos >> 16}

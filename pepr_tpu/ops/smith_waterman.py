@@ -156,27 +156,33 @@ def sw_align_batch(q: jax.Array, t: jax.Array, sub: jax.Array,
 
 
 def sw_impl() -> str:
-    """Which SW implementation production dispatch selects.  Default is
-    the XLA wavefront scan everywhere: on the real chip (r3 measurement,
-    512x256x256) scan runs 1.0 GCUPS vs 0.87 for the Pallas VMEM kernel
-    — the Pallas kernel now lowers and matches exactly on TPU (the r2
-    cumsum/dynamic-slice breaks are fixed) but its per-step one-hot
-    substitution lookup still outweighs the scan's dispatch cost.  Pin
-    with PEPR_SW_IMPL=scan|pallas."""
+    """Which SW implementation production dispatch selects.  The r4
+    row-scan Pallas kernel (ops/pallas_sw.py: MXU-built score slabs +
+    Kogge-Stone row-gap scan, int32 DP) replaced the r3 wavefront that
+    lost to this scan; default is pallas on the real chip, scan on CPU
+    (interpret mode is test-only).  Pin with PEPR_SW_IMPL=scan|pallas."""
     import os
 
-    return os.environ.get("PEPR_SW_IMPL", "scan")
+    impl = os.environ.get("PEPR_SW_IMPL")
+    if impl in ("scan", "pallas"):
+        return impl
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return "scan"
+    return "pallas" if platform in ("tpu", "axon") else "scan"
 
 
 def sw_align_batch_fast(q: jax.Array, t: jax.Array, sub: jax.Array,
                         gap_open: int = 11, gap_extend: int = 1) -> dict:
-    """Production dispatch: the Pallas VMEM-resident wavefront on TPU
-    (ops/pallas_sw.py), the XLA scan elsewhere / for non-default gap
-    costs.  Pin with PEPR_SW_IMPL=scan|pallas."""
+    """Production dispatch: the Pallas row-scan kernel on TPU
+    (ops/pallas_sw.py), the XLA wavefront scan elsewhere.  Pin with
+    PEPR_SW_IMPL=scan|pallas."""
     impl = sw_impl()
-    if impl == "pallas" and (gap_open, gap_extend) == (11, 1):
+    if impl == "pallas" and gap_open > gap_extend >= 0:
         from pepr_tpu.ops.pallas_sw import sw_align_batch_pallas
-        return sw_align_batch_pallas(q, t, sub)
+        return sw_align_batch_pallas(q, t, sub, gap_open=gap_open,
+                                     gap_extend=gap_extend)
     return sw_align_batch(q, t, sub, gap_open=gap_open,
                           gap_extend=gap_extend)
 

@@ -20,7 +20,7 @@ import time
 # Bump when a kernel/stage changes in a way that makes previously
 # checkpointed intermediate results semantically stale (e.g. SW scoring
 # changes, different clustering).  Part of every store fingerprint.
-CKPT_VERSION = 2
+CKPT_VERSION = 3  # r4: exact-seed candidate stage wired into stage 1
 
 
 def config_fingerprint(*objs) -> str:

@@ -67,6 +67,67 @@ def test_candidate_pairs_groups_by_genome(rng):
     assert sim[0, 1, 0] == pytest.approx(1.0, abs=5e-3)
 
 
+def test_exact_kmer_pairs_brute_force(rng):
+    from pepr_tpu.ops.kmer_filter import exact_kmer_pairs
+    seqs = [rng.integers(0, 22, size=rng.integers(3, 40)).astype(np.int8)
+            for _ in range(12)]
+    rows, codes = exact_kmer_pairs(seqs, k=3, alphabet_size=20)
+    got = set(zip(rows.tolist(), codes.tolist()))
+    want = set()
+    for i, s in enumerate(seqs):
+        for j in range(len(s) - 2):
+            win = s[j:j + 3]
+            if (win < 20).all():
+                want.add((i, int(win[0]) * 400 + int(win[1]) * 20
+                          + int(win[2])))
+    assert got == want
+
+
+def test_seed_candidates_ranks_true_homolog(rng):
+    from pepr_tpu.ops.kmer_filter import seed_candidates
+    base = rng.integers(0, 20, size=150).astype(np.int8)
+    homolog = _mutate(base, rng, 0.15)
+    decoys = [rng.integers(0, 20, size=150).astype(np.int8)
+              for _ in range(8)]
+    # genome 0 = query alone; genome 1 = homolog among decoys
+    seqs = [base] + decoys[:4] + [homolog] + decoys[4:]
+    offsets = np.array([0, 1, len(seqs)])
+    cand = seed_candidates(seqs, seqs, offsets, top_per_genome=2)
+    assert cand[0, 0, 0] == 0  # self tops its own genome
+    assert cand[0, 1, 0] == 5  # homolog tops genome 1 by shared tiles
+
+
+def test_seed_candidates_asymmetric_and_max_df(rng):
+    from pepr_tpu.ops.kmer_filter import seed_candidates
+    base = rng.integers(0, 20, size=100).astype(np.int8)
+    member = _mutate(base, rng, 0.1)
+    junk = [rng.integers(0, 20, size=100).astype(np.int8)
+            for _ in range(3)]
+    queries = [member] + junk
+    targets = [base, junk[0].copy()]
+    offsets = np.array([0, len(targets)])
+    cand = seed_candidates(queries, targets, offsets, top_per_genome=1)
+    assert cand[0, 0, 0] == 0  # member -> its consensus
+    assert cand[1, 0, 0] == 1  # junk[0] -> its own copy
+    # overused-tile masking: with max_df=0 every k-mer is dropped
+    cand0 = seed_candidates(queries, targets, offsets, top_per_genome=1,
+                            max_df=0)
+    assert (cand0 == -1).all()
+
+
+def test_seed_stage_carries_search_alone(rng):
+    """The exact-seed stage alone (cosine prefilter disabled via an
+    impossible min_sim) must still recover ortholog hits — this is the
+    production recall path for strong homologs."""
+    genomes, families = make_synthetic_genomes(rng)
+    _, hits = search_all_vs_all(genomes, prefilter_min_sim=1.1)
+    fam0 = set(families[0])
+    for q in families[0]:
+        partners = {int(t) for qq, t in zip(hits.query, hits.target)
+                    if qq == q and t != q}
+        assert partners & fam0, "seed-only ortholog hits missing"
+
+
 def test_connected_components():
     comp = connected_components(6, np.array([0, 1, 3]), np.array([1, 2, 4]))
     assert comp[0] == comp[1] == comp[2]

@@ -1,0 +1,120 @@
+"""Real-TPU smoke lane (VERDICT r3 weak #6: interpret-mode-only kernel
+testing hid a TPU lowering break for a full round).
+
+Run with  PEPR_TEST_TPU=1 python -m pytest tests/test_tpu_smoke.py -q
+against the live chip: compiles and executes every Pallas kernel plus
+one batched tree-scoring call and one HMM scoring bucket on the
+device, comparing against the XLA/CPU-parity implementations.  Takes
+minutes (first compile ~20-40 s each, cached server-side after).
+Skipped entirely in the default CPU lane.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PEPR_TEST_TPU") != "1",
+    reason="real-TPU smoke lane (set PEPR_TEST_TPU=1)")
+
+
+@pytest.fixture(scope="module")
+def tpu_device():
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon"):
+        pytest.skip(f"no TPU device (found {dev.platform})")
+    # probe: a wedged tunnel fails fast here instead of mid-test
+    x = jnp.ones((128, 128))
+    assert float(np.asarray(x @ x)[0, 0]) == 128.0
+    return dev
+
+
+def test_pallas_pruning_matches_scan_on_tpu(tpu_device, rng):
+    from pepr_tpu.models.treebuild import nj_start_tree
+    from pepr_tpu.ops.likelihood import (WagModel, loglik_sites,
+                                         loglik_sites_pallas,
+                                         tree_to_arrays)
+    from pepr_tpu.tree import parse_newick
+    from pepr_tpu.utils.simulate import simulate_alignment
+
+    nwk = "((((A:0.1,B:0.2):0.1,(C:0.1,D:0.1):0.2):0.1," \
+          "(E:0.15,F:0.1):0.1):0.1,(G:0.1,H:0.3):0.1);"
+    tree = parse_newick(nwk)
+    codes, taxa = simulate_alignment(tree, 512, np.random.default_rng(3))
+    arr = tree_to_arrays(tree, taxa)
+    model = WagModel.create()
+    args = (jnp.asarray(codes), jnp.asarray(arr.children),
+            jnp.asarray(arr.blen), jnp.asarray(model.eig),
+            jnp.asarray(model.u), jnp.asarray(model.u_inv),
+            jnp.asarray(model.pi), jnp.asarray(model.rates))
+    got = np.asarray(loglik_sites_pallas(*args))
+    want = np.asarray(loglik_sites(*args))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_sw_matches_scan_on_tpu(tpu_device, rng):
+    from pepr_tpu.ops.pallas_sw import sw_align_batch_pallas
+    from pepr_tpu.ops.smith_waterman import kernel_matrix, sw_align_batch
+
+    r = np.random.default_rng(4)
+    B, Lq, Lt = 128, 128, 128
+    q = r.integers(0, 20, size=(B, Lq)).astype(np.int8)
+    t = r.integers(0, 20, size=(B, Lt)).astype(np.int8)
+    for b in range(0, B, 2):  # plant homologies
+        t[b, 20:80] = q[b, 30:90]
+        mut = r.random(60) < 0.25
+        t[b, 20:80][mut] = r.integers(0, 20, mut.sum())
+    sub = jnp.asarray(kernel_matrix())
+    got = sw_align_batch_pallas(jnp.asarray(q), jnp.asarray(t), sub)
+    want = sw_align_batch(jnp.asarray(q), jnp.asarray(t), sub)
+    np.testing.assert_array_equal(np.asarray(got["score"]),
+                                  np.asarray(want["score"]))
+    # trackers may differ only where equal-score best cells tie; spot
+    # check the planted (even) rows, whose optima are unambiguous
+    for k in ("matches", "length"):
+        np.testing.assert_array_equal(np.asarray(got[k])[::2],
+                                      np.asarray(want[k])[::2], err_msg=k)
+
+
+def test_score_topologies_batch_on_tpu(tpu_device, rng):
+    from pepr_tpu.models.treebuild import _score_topologies
+    from pepr_tpu.ops.likelihood import WagModel, tree_to_arrays
+    from pepr_tpu.tree import parse_newick
+    from pepr_tpu.utils.simulate import simulate_alignment
+
+    nwk = "(((A:0.1,B:0.2):0.1,(C:0.1,D:0.1):0.2):0.05," \
+          "(E:0.15,F:0.1):0.1);"
+    tree = parse_newick(nwk)
+    codes, taxa = simulate_alignment(tree, 256, np.random.default_rng(5))
+    arr = tree_to_arrays(tree, taxa)
+    model = WagModel.create()
+    margs = (jnp.asarray(model.eig), jnp.asarray(model.u),
+             jnp.asarray(model.u_inv), jnp.asarray(model.pi),
+             jnp.asarray(model.rates))
+    cb = jnp.asarray(np.stack([arr.children] * 4))
+    bb = jnp.asarray(np.stack([arr.blen * s
+                               for s in (0.5, 1.0, 1.5, 2.0)]))
+    w = jnp.ones(codes.shape[1], jnp.float32)
+    s = np.asarray(_score_topologies(jnp.asarray(codes), cb, bb, *margs,
+                                     w, chunk=256, impl="pallas"))
+    assert np.isfinite(s).all()
+    assert s[1] == max(s)  # true scale should win
+
+
+def test_hmm_bucket_on_tpu(tpu_device, rng):
+    from pepr_tpu.ops.hmm import build_profile_hmm, profile_score_pairs
+
+    r = np.random.default_rng(6)
+    L = 40
+    base = r.integers(0, 20, size=(6, L)).astype(np.int8)
+    hmm = build_profile_hmm(base, name="smoke")
+    member = base[0].copy()
+    mut = r.random(L) < 0.2
+    member[mut] = r.integers(0, 20, mut.sum())
+    junk = r.integers(0, 20, size=L).astype(np.int8)
+    bits = profile_score_pairs([member, junk], [hmm], [(0, 0), (1, 0)])
+    assert np.isfinite(bits).all()
+    assert bits[0] > bits[1]
