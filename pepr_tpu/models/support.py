@@ -208,9 +208,30 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
     if state is not None:
         children, blens, lls, round_done = state
     else:
-        blens, lls = sharded_replicate_blopt(mesh, cat.mat, masks,
-                                             children, blens, model,
-                                             steps=bl_steps)
+        # per-block checkpointing: one 16-rep block is ~3-4 min of
+        # segmented device calls at golden-run lengths, so a whole
+        # 100-rep sweep cannot rely on finishing inside one slice
+        block = 16
+        blk_key = "support_blopt_blocks"
+        bstate: dict = store.load(blk_key) if store is not None \
+            and store.has(blk_key) else {}
+        lls = np.zeros(reps)
+        for b0 in range(0, reps, block):
+            if b0 in bstate:
+                continue
+            check("support BL-opt")
+            bl, ll = sharded_replicate_blopt(
+                mesh, cat.mat, masks[b0:b0 + block],
+                children[b0:b0 + block], blens[b0:b0 + block], model,
+                steps=bl_steps)
+            bstate[b0] = (bl, ll)
+            if store is not None:
+                store.save(blk_key, bstate)
+            log.info("support: BL-opt block %d-%d/%d done", b0,
+                     b0 + len(bl) - 1, reps)
+        for b0, (bl, ll) in bstate.items():
+            blens[b0:b0 + len(bl)] = bl
+            lls[b0:b0 + len(ll)] = ll
         round_done = 0
         if store is not None:
             store.save(state_key, (children, blens, lls, round_done))

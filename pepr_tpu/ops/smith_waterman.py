@@ -179,7 +179,11 @@ def sw_align_batch_fast(q: jax.Array, t: jax.Array, sub: jax.Array,
     (ops/pallas_sw.py), the XLA wavefront scan elsewhere.  Pin with
     PEPR_SW_IMPL=scan|pallas."""
     impl = sw_impl()
-    if impl == "pallas" and gap_open > gap_extend >= 0:
+    # the Pallas kernel's packed score slab (tile, 128, Lq) int32 must
+    # fit VMEM alongside the DP state; beyond Lq=2048 (both sequences
+    # >2k residues — pairs are short-side-query oriented) use the scan
+    if impl == "pallas" and gap_open > gap_extend >= 0 \
+            and q.shape[1] <= 2048:
         from pepr_tpu.ops.pallas_sw import sw_align_batch_pallas
         return sw_align_batch_pallas(q, t, sub, gap_open=gap_open,
                                      gap_extend=gap_extend)

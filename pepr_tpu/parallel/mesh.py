@@ -147,14 +147,16 @@ def _rep_chunk(R: int, L: int, n_nodes: int, n_cats: int,
     return min(c, int(2 ** np.ceil(np.log2(max(L, 1)))), 4096)
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "chunk", "lr"))
-def _rep_blopt_jit(codes, rw, rc, rb, eig, u, ui, pi, rates,
-                   steps: int, chunk: int, lr: float = 0.03):
-    import optax
+# Per-device-call work ceiling in replicate x site x Adam-step units.
+# The remote tunnel drops (and can wedge) device calls that run for
+# minutes, and a 200-step x 16-rep x 32k-site blopt is one such call —
+# the r4 ery run killed the TPU worker exactly there.  Segmenting the
+# optimizer into short calls with the Adam state carried between them
+# keeps each call ~10-20 s and makes the whole phase kill-tolerant.
+MAX_BLOPT_CALL_WORK = 8_000_000
 
-    opt = optax.adam(lr)
-    margs = (eig, u, ui, pi, rates)
 
+def _rep_nll_fns(codes, rc, rw, margs, chunk):
     def one_nll(theta, children, w):
         return -loglik_weighted(codes, children, _softplus(theta), *margs,
                                 w, chunk=chunk, remat=True)
@@ -164,20 +166,39 @@ def _rep_blopt_jit(codes, rw, rc, rb, eig, u, ui, pi, rates,
     def total(theta):
         return nll(theta, rc, rw).sum()
 
-    theta0 = _inv_softplus(rb)
-    state0 = opt.init(theta0)
+    return nll, total
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "chunk", "lr"))
+def _rep_blopt_seg(codes, rw, rc, theta, mu, nu, t0, eig, u, ui, pi,
+                   rates, n_steps: int, chunk: int, lr: float):
+    """`n_steps` Adam steps on the vmapped replicate nll; the optimizer
+    state (mu, nu, t) is carried across calls.  Update arithmetic
+    matches optax.adam(lr) defaults exactly (b1=.9, b2=.999, eps=1e-8)
+    so segmented and single-call runs agree."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    _, total = _rep_nll_fns(codes, rc, rw, (eig, u, ui, pi, rates), chunk)
 
     def body(carry, _):
-        theta, state = carry
+        theta, mu, nu, t = carry
         g = jax.grad(total)(theta)
-        updates, state = opt.update(g, state, theta)
-        theta = optax.apply_updates(theta, updates)
-        return (theta, state), None
+        t = t + 1.0
+        mu = b1 * mu + (1.0 - b1) * g
+        nu = b2 * nu + (1.0 - b2) * g * g
+        mhat = mu / (1.0 - b1 ** t)
+        nhat = nu / (1.0 - b2 ** t)
+        theta = theta - lr * mhat / (jnp.sqrt(nhat) + eps)
+        return (theta, mu, nu, t), None
 
-    (theta, _), _ = jax.lax.scan(body, (theta0, state0), None,
-                                 length=steps)
-    ll = -nll(theta, rc, rw)
-    return _softplus(theta), ll
+    (theta, mu, nu, t), _ = jax.lax.scan(
+        body, (theta, mu, nu, t0), None, length=n_steps)
+    return theta, mu, nu, t
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _rep_ll_jit(codes, rw, rc, theta, eig, u, ui, pi, rates, chunk: int):
+    nll, _ = _rep_nll_fns(codes, rc, rw, (eig, u, ui, pi, rates), chunk)
+    return -nll(theta, rc, rw)
 
 
 def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
@@ -246,8 +267,22 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
 
     margs = tuple(jnp.asarray(x) for x in
                   (model.eig, model.u, model.u_inv, model.pi, model.rates))
-    blen, ll = _rep_blopt_jit(codes_s, rw_s, rc_s, rb_s, *margs,
-                              steps=steps, chunk=chunk, lr=lr)
+    # segment the optimizer into tunnel-safe device calls
+    seg = max(1, int(MAX_BLOPT_CALL_WORK
+                     // max(rw.shape[0] * rw.shape[1], 1)))
+    theta = _inv_softplus(rb_s)
+    mu = jnp.zeros_like(theta)
+    nu = jnp.zeros_like(theta)
+    t = jnp.float32(0.0)
+    done = 0
+    while done < steps:
+        n = min(seg, steps - done)
+        theta, mu, nu, t = _rep_blopt_seg(
+            codes_s, rw_s, rc_s, theta, mu, nu, t, *margs,
+            n_steps=n, chunk=chunk, lr=lr)
+        done += n
+    ll = _rep_ll_jit(codes_s, rw_s, rc_s, theta, *margs, chunk=chunk)
+    blen = _softplus(theta)
     if jax.process_count() > 1:
         # multi-host: outputs are sharded across processes; gather the
         # full result on every host (replicate merge over DCN happens
