@@ -166,20 +166,30 @@ def enhance_homolog_groups(hg_sets: list[SequenceSet],
     selected_names = [genomes[i].taxon for i in selected]
     allowed_genomes = set(selected) | set(range(n_pool, len(genomes)))
 
-    # 6. rebuild sets: rank hits, add members until a genome repeats
+    # 6. rebuild sets: rank hits, add members until a genome repeats.
+    # Equal-score repeats are SKIPPED rather than truncating
+    # (HMMSetEnhancer.java:266-279): an exact duplicate gene (two
+    # identical copies in one genome, common for ribosomal-protein
+    # operons) must not prematurely end the set — without this rule
+    # the r4 ery run left every universal single-copy family stuck at
+    # its raw MCL membership (L2's two equal 604-bit Coprobacillus
+    # copies sat at ranks 1-2 and truncated the rebuild instantly).
     enhanced: list[SequenceSet] = []
     for h, s in enumerate(hg_sets):
         hits = sorted(hg_hits.get(h, []), reverse=True)
         new_titles: list[str] = []
         new_seqs: list[np.ndarray] = []
-        seen_genomes: set[int] = set()
+        genome_score: dict[int, float] = {}
         for b, p in hits:
             gi, li = titles[p]
             if gi not in allowed_genomes:
                 continue
-            if gi in seen_genomes:
-                break  # first duplicate genome ends the set
-            seen_genomes.add(gi)
+            if gi in genome_score:
+                if b == genome_score[gi]:
+                    genome_score[gi] = b
+                    continue  # duplicate gene, not a paralog: skip
+                break  # lower-scoring repeat genome ends the set
+            genome_score[gi] = b
             new_titles.append(genomes[gi].titles[li])
             new_seqs.append(genomes[gi].seqs[li])
         if len(new_seqs) >= 2:

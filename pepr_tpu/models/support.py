@@ -279,7 +279,7 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
         # accept per replicate: all improving non-conflicting moves
         cand_rep = np.array(cand_rep)
         new_children = children.copy()
-        changed = 0
+        moved: list[int] = []
         pos = 0
         for r in range(reps):
             k = len(per_rep_moves[r])
@@ -296,21 +296,27 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
                 touched |= {k_c, k_p}
                 taken.append(per_rep_moves[r][int(idx)])
             fixed = _postorder_fix(_apply_swaps(children[r], n_leaves,
-                                                taken), n_leaves)
+                                                [m for m in taken]),
+                                   n_leaves)
             blens[r] = _remap_blen(children[r], fixed, blens[r], n_leaves)
             new_children[r] = fixed
-            changed += 1
+            moved.append(r)
         children = new_children
-        if changed == 0:
+        if not moved:
             log.info("support: NNI converged after round %d", rnd)
             break
-        blens, lls = sharded_replicate_blopt(mesh, cat.mat, masks,
-                                             children, blens, model,
-                                             steps=max(bl_steps // 2, 20))
+        # re-optimize branch lengths of the MOVED replicates only (a
+        # late round moves a handful; re-running all 100 wasted ~90%
+        # of the round's device time)
+        mb, ml = sharded_replicate_blopt(
+            mesh, cat.mat, masks[moved], children[moved], blens[moved],
+            model, steps=max(bl_steps // 2, 20))
+        blens[moved] = mb
+        lls[moved] = ml
         if store is not None:
             store.save(state_key, (children, blens, lls, rnd + 1))
         log.info("support: NNI round %d moved %d/%d replicates", rnd,
-                 changed, reps)
+                 len(moved), reps)
         if rnd == max_rounds - 1:
             log.warning("support: NNI round cap %d hit with %d "
                         "replicates still moving", max_rounds, changed)

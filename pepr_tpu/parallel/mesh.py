@@ -157,11 +157,19 @@ MAX_BLOPT_CALL_WORK = 8_000_000
 
 
 def _rep_nll_fns(codes, rc, rw, margs, chunk):
-    def one_nll(theta, children, w):
-        return -loglik_weighted(codes, children, _softplus(theta), *margs,
+    """codes is either (n_leaves, L) shared across replicates or
+    (R, n_leaves, Lsel) per-replicate (mask-compacted columns)."""
+    per_rep_codes = codes.ndim == 3
+
+    def one_nll(theta, children, w, cd):
+        return -loglik_weighted(cd, children, _softplus(theta), *margs,
                                 w, chunk=chunk, remat=True)
 
-    nll = jax.vmap(one_nll, in_axes=(0, 0, 0))
+    nll_v = jax.vmap(one_nll,
+                     in_axes=(0, 0, 0, 0 if per_rep_codes else None))
+
+    def nll(theta, children, w):
+        return nll_v(theta, children, w, codes)
 
     def total(theta):
         return nll(theta, rc, rw).sum()
@@ -243,9 +251,6 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
     n_rep = mesh.shape["rep"]
     n_site = mesh.shape["site"]
     n_nodes = rep_blen.shape[1]
-    chunk = _rep_chunk(-(-R // n_rep), L // max(n_site, 1), n_nodes,
-                       len(model.rates))
-    site_mult = n_site * chunk
 
     # pad replicate axis
     def pad_r(a):
@@ -254,13 +259,42 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
             a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
         return a
 
-    rw = pad_r(_pad_sites(np.asarray(rep_weights, np.float32),
-                          site_mult, 1))
+    rw_full = pad_r(np.asarray(rep_weights, np.float32))
     rc = pad_r(np.asarray(rep_children, np.int32))
     rb = pad_r(np.asarray(rep_blen, np.float32))
-    codes_p = _pad_sites(np.asarray(codes, np.int8), site_mult, 1, fill=24)
+    codes_np = np.asarray(codes, np.int8)
 
-    codes_s = jax.device_put(codes_p, NamedSharding(mesh, P(None, "site")))
+    # mask compaction: jackknife masks zero out ~half the sites, and a
+    # zero-weight site still costs full pruning compute — gather each
+    # replicate's live columns instead (exact same weighted LL, ~2x
+    # less work).  Falls back to the shared-codes layout when the
+    # weights are dense (e.g. bootstrap resampling counts).
+    nz = rw_full > 0
+    sel_max = int(nz.sum(axis=1).max()) if rw_full.size else 0
+    compact = sel_max <= 0.75 * L
+    eff_L = sel_max if compact else L
+    chunk = _rep_chunk(-(-R // n_rep), max(eff_L // max(n_site, 1), 1),
+                       n_nodes, len(model.rates))
+    site_mult = n_site * chunk
+
+    if compact:
+        Rp = rw_full.shape[0]
+        codes_sel = np.full((Rp, codes_np.shape[0], max(sel_max, 1)),
+                            24, np.int8)
+        w_sel = np.zeros((Rp, max(sel_max, 1)), np.float32)
+        for r in range(Rp):
+            idx = np.nonzero(nz[r])[0]
+            codes_sel[r, :, :len(idx)] = codes_np[:, idx]
+            w_sel[r, :len(idx)] = rw_full[r, idx]
+        rw = _pad_sites(w_sel, site_mult, 1)
+        codes_p = _pad_sites(codes_sel, site_mult, 2, fill=24)
+        codes_s = jax.device_put(
+            codes_p, NamedSharding(mesh, P("rep", None, "site")))
+    else:
+        rw = _pad_sites(rw_full, site_mult, 1)
+        codes_p = _pad_sites(codes_np, site_mult, 1, fill=24)
+        codes_s = jax.device_put(codes_p,
+                                 NamedSharding(mesh, P(None, "site")))
     rw_s = jax.device_put(rw, NamedSharding(mesh, P("rep", "site")))
     rc_s = jax.device_put(rc, NamedSharding(mesh, P("rep")))
     rb_s = jax.device_put(rb, NamedSharding(mesh, P("rep")))
