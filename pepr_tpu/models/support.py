@@ -216,14 +216,24 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
         bstate: dict = store.load(blk_key) if store is not None \
             and store.has(blk_key) else {}
         lls = np.zeros(reps)
+        last_block = 0.0
         for b0 in range(0, reps, block):
             if b0 in bstate:
                 continue
             check("support BL-opt")
+            if deadline is not None and last_block > 0.0 and \
+                    deadline.remaining() < 1.3 * last_block:
+                # a block takes minutes; starting one that cannot
+                # finish inside the slice wastes the whole block
+                from pepr_tpu.pipeline.checkpoint import Incomplete
+                raise Incomplete("support BL-opt (block won't fit)")
+            import time as _time
+            _t0 = _time.time()
             bl, ll = sharded_replicate_blopt(
                 mesh, cat.mat, masks[b0:b0 + block],
                 children[b0:b0 + block], blens[b0:b0 + block], model,
                 steps=bl_steps)
+            last_block = _time.time() - _t0
             bstate[b0] = (bl, ll)
             if store is not None:
                 store.save(blk_key, bstate)

@@ -2,8 +2,14 @@
 
 Flag vocabulary follows the reference (HandyConstants.java:9-102 /
 scripts/pepr.sh): -run_name, -genome_file, -outgroup, -outgroup_count,
--refine, -track, -conf, -support_reps, -tree_method, -mcl_inflation,
--min_taxa / -max_taxa / -min_taxa_multiplier, -unique_species.
+-refine, -track, -conf, -support_reps, -tree_method (ml | fasttree |
+nj | parsimony | parsimony_bl), -mcl_inflation, -min_taxa / -max_taxa
+/ -min_taxa_multiplier, -unique_species / -unique_genus,
+-congruence_filter, -matrix_eval [model,list], -alphabet nt (or -nt:
+the blastn/GTR nucleotide pipeline), -track default|fast|blat_fast|
+blast_fast|blat_raxml|blast_raxml (the reference's named tracks all
+expand to the same default property list, PhyloPipeline.java:
+1102-1147; *_fast keeps the FastTree full-tree method).
 
 Usage:
   python -m pepr_tpu.pipeline.cli -run_name X \
@@ -25,7 +31,13 @@ def config_from_args(argv: list[str]) -> PeprConfig:
         rp = RunProperties.load(conf).merged_under(rp)
 
     track = rp.get("track", "default")
-    cfg = PeprConfig.default_track() if track in ("default", "fast") \
+    # every named track in the reference expands the same default
+    # property list (PhyloPipeline.getTrackProperties — the *_fast
+    # branch's array is immediately overwritten, a reference quirk);
+    # we honor the *_fast intent (FastTree full tree) anyway
+    known_tracks = ("default", "fast", "blat_fast", "blast_fast",
+                    "blat_raxml", "blast_raxml")
+    cfg = PeprConfig.default_track() if track in known_tracks \
         else PeprConfig()
 
     cfg.run_name = rp.get("run_name", cfg.run_name)
@@ -61,14 +73,38 @@ def config_from_args(argv: list[str]) -> PeprConfig:
                                             cfg.stage1.unique_species)
     cfg.stage2.support_reps = rp.get_int("support_reps",
                                          cfg.stage2.support_reps)
-    method = rp.get("tree_method")
+    method = rp.get("tree_method") or rp.get("full_tree_method")
     if method:
         cfg.stage2.full_tree_method = \
             {"ml": "ml", "fasttree": "fast_ml", "nj": "nj",
-             "fast_ml": "fast_ml"}.get(method.lower(), "ml")
-    if track == "fast":
+             "fast_ml": "fast_ml", "parsimony": "parsimony",
+             "parsimony_bl": "parsimony_bl"}.get(method.lower(), "ml")
+    # nucleotide pipeline (-alphabet nt or -nt): blastn-equivalent
+    # homology scores + GTR+Gamma trees (BlastRunner.java:603-706)
+    if rp.get("alphabet", "").lower() in ("nt", "dna", "nucleotide") \
+            or rp.get_bool("nt", False):
+        cfg.alphabet = "nt"
+        cfg.stage1.alphabet = "nt"
+        cfg.stage2.alphabet = "nt"
+    cfg.stage2.congruence_filter = rp.get_bool(
+        "congruence_filter", cfg.stage2.congruence_filter)
+    # -matrix_eval [true | model,list] (PhylogenomicPipeline2.java:
+    # 252-295 role): pick the substitution model by per-site LL of a
+    # parsimony tree before building the full tree
+    mev = rp.get("matrix_eval", rp.get("matrix_evaluation"))
+    if mev is None and ("matrix_eval" in rp or "matrix_evaluation" in rp):
+        cfg.stage2.matrix_evaluation = True  # bare flag
+    if mev:
+        low = mev.lower()
+        if low in ("true", "1", "yes"):
+            cfg.stage2.matrix_evaluation = True
+        elif low not in ("false", "0", "no"):
+            cfg.stage2.matrix_evaluation = [m.strip() for m in
+                                            mev.split(",") if m.strip()]
+    if track.endswith("fast"):
         cfg.stage2.full_tree_method = "fast_ml"
-        cfg.stage2.support_reps = min(cfg.stage2.support_reps, 20)
+        if track == "fast":
+            cfg.stage2.support_reps = min(cfg.stage2.support_reps, 20)
     return cfg
 
 

