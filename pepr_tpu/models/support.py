@@ -208,21 +208,25 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
     if state is not None:
         children, blens, lls, round_done = state
     else:
-        # per-block checkpointing: one 16-rep block is ~3-4 min of
-        # segmented device calls at golden-run lengths, so a whole
-        # 100-rep sweep cannot rely on finishing inside one slice
-        block = 16
+        # per-block checkpointing: block wall time scales with
+        # reps x sites, so size blocks to ~ a few minutes each — a
+        # block that outlives the run slice loses all its work
+        # (16 reps x ~40k live columns ~= 3-4 min on the tunneled chip)
+        live = int((masks[0] > 0).sum()) if reps else cat.length
+        block = max(4, min(16, int(16 * 40000 / max(live, 1)) & ~1))
         blk_key = "support_blopt_blocks"
         bstate: dict = store.load(blk_key) if store is not None \
             and store.has(blk_key) else {}
         lls = np.zeros(reps)
         last_block = 0.0
-        for b0 in range(0, reps, block):
-            if b0 in bstate:
+        b0 = 0
+        while b0 < reps:
+            if b0 in bstate:  # done under any (possibly older) block size
+                b0 += len(bstate[b0][0])
                 continue
             check("support BL-opt")
             if deadline is not None and last_block > 0.0 and \
-                    deadline.remaining() < 1.3 * last_block:
+                    deadline.remaining() < 1.1 * last_block:
                 # a block takes minutes; starting one that cannot
                 # finish inside the slice wastes the whole block
                 from pepr_tpu.pipeline.checkpoint import Incomplete
@@ -239,6 +243,7 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
                 store.save(blk_key, bstate)
             log.info("support: BL-opt block %d-%d/%d done", b0,
                      b0 + len(bl) - 1, reps)
+            b0 += len(bl)
         for b0, (bl, ll) in bstate.items():
             blens[b0:b0 + len(bl)] = bl
             lls[b0:b0 + len(ll)] = ll

@@ -177,11 +177,21 @@ def run_pepr(cfg: PeprConfig,
             budget = None
             if deadline.t_end is not None:
                 budget = deadline.remaining()
+            # the unique-species filter is disabled for small subtree
+            # runs (PhylogeneticTreeRefiner.java:89,145-149: fewer than
+            # 5 unique species — a refinement region often IS a cluster
+            # of same-species genomes, which the filter would collapse
+            # to a single genome and leave stage 1 with no groups)
+            uniq_species = len({"_".join(g.taxon.split("_")[:2])
+                                for g in sub_in}) >= 5
+            sub_s1 = replace(cfg.stage1,
+                             unique_species=cfg.stage1.unique_species
+                             and uniq_species)
             sub_cfg = replace(
                 cfg, run_name=f"{cfg.run_name}_refine_sub{round_idx}",
                 refine=False, subtree=True,
                 outgroup_count=min(len(sub_out), 2),
-                min_taxa=None, max_taxa=None,
+                min_taxa=None, max_taxa=None, stage1=sub_s1,
                 checkpoint_dir=sub_ckpt, time_budget=budget)
             res = run_pepr(sub_cfg, genomes=sub_in,
                            outgroup_pool=sub_out, write_files=False)
