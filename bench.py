@@ -109,7 +109,7 @@ def bench_likelihood(n_taxa=16, L=131072, evals_per_call=8, iters=4):
     return L / per_eval, per_eval
 
 
-def bench_smith_waterman(batch=512, L=256, iters=5):
+def bench_smith_waterman(batch=2048, L=256, iters=5):
     """Times BOTH SW implementations (Pallas VMEM kernel and the XLA
     wavefront scan) and asserts the production dispatch executes on the
     device under test — a silent fall-through cost us r02's SW number
@@ -143,7 +143,7 @@ def bench_smith_waterman(batch=512, L=256, iters=5):
         raise RuntimeError(
             f"production SW dispatch ({prod}) failed on this device: "
             f"{results[prod]}")
-    return results, prod
+    return results, prod, (batch, L)
 
 
 def main():
@@ -157,7 +157,7 @@ def main():
     # SW is secondary in the headline JSON but a broken production
     # dispatch must be LOUD (r02 shipped with the TPU path crashing):
     # bench_smith_waterman raises in that case and we re-raise.
-    sw_results, sw_prod = bench_smith_waterman()
+    sw_results, sw_prod, (batch, L) = bench_smith_waterman()
     for name, r in sw_results.items():
         tag = " [production]" if name == sw_prod else ""
         if isinstance(r, Exception):
@@ -166,7 +166,7 @@ def main():
         else:
             cups, sw_dt = r
             print(f"smith-waterman[{name}]{tag}: {cups/1e9:.2f} GCUPS "
-                  f"({sw_dt*1e3:.1f} ms / 512x256x256 batch)",
+                  f"({sw_dt*1e3:.1f} ms / {batch}x{L}x{L} batch)",
                   file=sys.stderr)
 
     print(json.dumps({

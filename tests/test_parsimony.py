@@ -51,3 +51,50 @@ def test_parsimony_bl_sets_branch_lengths():
     bl = [b for b in tree.blen if np.isfinite(b)]
     assert len(bl) > 0 and all(b >= 0 for b in bl)
     assert np.std(bl) > 0  # actually fitted, not defaults
+
+
+def test_parsimony_randomization_thresholds(rng):
+    """ConcatenatedSequenceAlignment.java:141-425 machinery: per-gene
+    null thresholds from randomized column draws."""
+    import jax.numpy as jnp
+
+    from pepr_tpu.models.concat import (ConcatenatedAlignment,
+                                        minimum_steps_per_site,
+                                        steps_beyond_minimum_per_site,
+                                        steps_per_site,
+                                        threshold_steps_for_gene)
+    from pepr_tpu.models.msa import Alignment
+    from pepr_tpu.models.concat import concatenate
+    from pepr_tpu.ops.likelihood import tree_to_arrays
+    from pepr_tpu.tree import parse_newick
+
+    taxa = list("ABCDEF")
+    genes = []
+    for g in range(4):
+        mat = rng.integers(0, 20, size=(6, 30)).astype(np.int8)
+        genes.append(Alignment(f"g{g}", list(taxa), mat))
+    cat = concatenate(genes)
+    tree = parse_newick("(((A:1,B:1):1,(C:1,D:1):1):1,(E:1,F:1):1);")
+    arr = tree_to_arrays(tree, cat.taxa)
+
+    mins = minimum_steps_per_site(cat.mat)
+    steps = steps_per_site(cat, arr.children)
+    beyond = steps_beyond_minimum_per_site(cat, arr.children)
+    assert (steps >= mins).all()  # Fitch is exact >= lower bound
+    assert (beyond == steps - mins).all()
+    assert mins.max() <= 5  # 6 taxa -> at most 6 states - 1
+
+    thr = threshold_steps_for_gene(cat, steps, 0, reps=50, alpha=0.05,
+                                   seed=1)
+    # threshold must be in the plausible range of 30-column sums
+    assert 30 * steps.min() <= thr <= 30 * steps.max()
+    # masked variant: exclude all other genes -> pool too small -> -1
+    mask = np.array([False, True, True, True])
+    assert threshold_steps_for_gene(cat, steps, 0, reps=10,
+                                    gene_mask=mask) == -1
+    # masked variant with enough pool works (self-exclusion leaves
+    # exactly 3x the gene length)
+    mask2 = np.array([False, False, False, False])
+    thr2 = threshold_steps_for_gene(cat, steps, 0, reps=50,
+                                    gene_mask=mask2, seed=2)
+    assert thr2 > 0
