@@ -190,3 +190,35 @@ def test_enhancer_selects_outgroup_and_extends_sets(rng):
     for s in res.enhanced_sets:
         assert "OG1" in s.taxa
         assert len(set(s.taxa)) == len(s.taxa)  # one member per genome
+
+
+def test_enhancer_rebuild_skips_equal_score_duplicates(rng):
+    """HMMSetEnhancer.java:266-279 semantics: a repeated genome with an
+    EQUAL score (duplicate gene copy) must not truncate the rebuild;
+    a lower-scoring repeat (paralog) must."""
+    from pepr_tpu.io.fasta import SequenceSet
+    from pepr_tpu.models.hmm_enhancer import enhance_homolog_groups
+
+    L = 60
+    base = rng.integers(0, 20, size=L).astype(np.int8)
+
+    def mut(rate):
+        s = base.copy()
+        m = rng.random(L) < rate
+        s[m] = rng.integers(0, 20, m.sum())
+        return s
+
+    # genome 0 carries TWO IDENTICAL copies of the gene; genomes 1-2
+    # carry diverged orthologs that score lower than either copy
+    dup = mut(0.0)
+    g0 = SequenceSet("g0", ["a [T0]", "b [T0]"], [dup, dup.copy()])
+    g1 = SequenceSet("g1", ["c [T1]"], [mut(0.15)])
+    g2 = SequenceSet("g2", ["d [T2]"], [mut(0.2)])
+    hg = [SequenceSet("set_0", ["a [T0]", "c [T1]", "d [T2]"],
+                      [dup, g1.seqs[0], g2.seqs[0]])]
+    res = enhance_homolog_groups(hg, [g0, g1, g2], [],
+                                 outgroup_count=0, min_bits=5.0)
+    taxa = set(res.enhanced_sets[0].taxa)
+    # the equal-score duplicate at ranks 1-2 must NOT truncate: all
+    # three taxa present
+    assert taxa == {"T0", "T1", "T2"}, taxa
