@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pepr_tpu.alphabet import N_AA
 
-S_TILE = 128
+# swept on-chip (16-taxon bench): 128 -> 11.2M, 256 -> 12.9M,
+# 512 -> 14.5M, 1024 -> 7.3M site-evals/s (VMEM spill); 512 wins
+S_TILE = 512
 A_PAD = 24  # states padded to a sublane multiple
 N_CATS = 4  # Gamma categories fused into the sublane axis
 CA = N_CATS * A_PAD
