@@ -71,15 +71,17 @@ def _inv_softplus(y):
     return np.where(y > 20, y, np.log(np.expm1(y)))
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "chunk"))
+@functools.partial(jax.jit, static_argnames=("steps", "chunk", "impl"))
 def _opt_blens_jit(codes, children, theta0, eig, u, ui, pi, rates,
-                   weights, steps: int, chunk: int = 4096):
+                   weights, steps: int, chunk: int = 4096,
+                   impl: str = "scan"):
     opt = optax.adam(0.03)
 
     def nll(theta):
         blen = _softplus(theta)
         return -loglik_weighted(codes, children, blen, eig, u, ui, pi,
-                                rates, weights, chunk=chunk, remat=True)
+                                rates, weights, chunk=chunk, remat=True,
+                                impl=impl)
 
     val_grad = jax.value_and_grad(nll)
 
@@ -107,12 +109,14 @@ def optimize_branch_lengths(codes: np.ndarray, arr: TreeArrays,
         np.asarray(site_weights, np.float32)
     theta0 = jnp.asarray(_inv_softplus(np.asarray(arr.blen, np.float64))
                          .astype(np.float32))
+    from pepr_tpu.ops.likelihood import forward_impl
     theta, ll = _opt_blens_jit(
         jnp.asarray(codes), jnp.asarray(arr.children), theta0,
         jnp.asarray(model.eig), jnp.asarray(model.u),
         jnp.asarray(model.u_inv), jnp.asarray(model.pi),
         jnp.asarray(model.rates), jnp.asarray(w), steps,
-        _norm_chunk(L, 4096))
+        _norm_chunk(L, 4096),
+        impl=forward_impl(codes.shape[0] + arr.children.shape[0]))
     return np.asarray(_softplus(theta), np.float32), float(ll)
 
 

@@ -208,8 +208,9 @@ def _norm_chunk(L: int, chunk: int) -> int:
 
 # Forward-path implementation dispatch: the Pallas site-tiled kernel
 # (ops/pallas_pruning.py) keeps every node's partials in VMEM for a
-# block of sites — the speed-of-light layout — but has no VJP, so
-# gradient paths (branch-length optimization) always use the XLA scan.
+# block of sites — the speed-of-light layout.  Since r4 it also
+# carries a custom VJP (backward Pallas kernel), so gradient paths
+# (branch-length optimization) ride it too whenever the tree fits.
 # Tests can pin the implementation via PEPR_LIKELIHOOD_IMPL=scan|pallas.
 def forward_impl(n_nodes: int | None = None) -> str:
     """Pick the forward engine.  With `n_nodes` given, falls back to
@@ -253,8 +254,12 @@ def loglik_sites_pallas(codes: jax.Array, children: jax.Array,
         0.0)  # (C, V, 20, 20)
     pmp = block_diag_pmats(pm)  # (V, CA, CA)
     pip = jnp.zeros((1, A_PAD), jnp.float32).at[0, :N_AA].set(pi)
-    ll = pruning_site_ll_pallas(codes_p, children.astype(jnp.int32),
-                                pmp, pip, interpret=interpret)
+    # differentiable entry: custom VJP through the backward Pallas
+    # kernel gives gradients w.r.t. blen (chained through the pmats
+    # einsum above by XLA autodiff)
+    from pepr_tpu.ops.pallas_pruning import site_ll_pallas_diff
+    ll = site_ll_pallas_diff(codes_p, children.astype(jnp.int32),
+                             pmp, pip, interpret)
     return ll[:L]
 
 

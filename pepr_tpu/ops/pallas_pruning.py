@@ -210,3 +210,37 @@ def loglik_pallas(codes: np.ndarray, children: np.ndarray,
     if site_weights is not None:
         ll = ll * jnp.asarray(np.asarray(site_weights, np.float32))
     return float(jnp.sum(ll))
+
+
+# -- differentiable entry (custom VJP over the backward kernel) ------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def site_ll_pallas_diff(codes, children, pmats_bd, pi,
+                        interpret: bool = False):
+    """Per-site ll with a gradient path w.r.t. `pmats_bd` (the
+    backward Pallas kernel, ops/pallas_pruning_grad.py).  codes /
+    children are integer inputs (no tangents); pi is treated as a
+    constant (branch-length optimization never differentiates it)."""
+    return pruning_site_ll_pallas(codes, children, pmats_bd, pi,
+                                  interpret=interpret)
+
+
+def _sll_fwd(codes, children, pmats_bd, pi, interpret):
+    out = pruning_site_ll_pallas(codes, children, pmats_bd, pi,
+                                 interpret=interpret)
+    return out, (codes, children, pmats_bd, pi)
+
+
+def _sll_bwd(interpret, res, ct):
+    from jax.dtypes import float0
+
+    from pepr_tpu.ops.pallas_pruning_grad import pruning_grad_pmats_pallas
+    codes, children, pmats_bd, pi = res
+    gp = pruning_grad_pmats_pallas(codes, children, pmats_bd, pi,
+                                   ct, interpret=interpret)
+    return (np.zeros(codes.shape, dtype=float0),
+            np.zeros(children.shape, dtype=float0),
+            gp, jnp.zeros_like(pi))
+
+
+site_ll_pallas_diff.defvjp(_sll_fwd, _sll_bwd)

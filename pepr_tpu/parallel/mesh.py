@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pepr_tpu.ops.likelihood import WagModel, loglik_sites, loglik_weighted
+from pepr_tpu.ops.likelihood import (WagModel, forward_impl,
+                                     loglik_sites, loglik_weighted)
 
 
 def initialize_distributed(coordinator: str | None = None,
@@ -156,14 +157,14 @@ def _rep_chunk(R: int, L: int, n_nodes: int, n_cats: int,
 MAX_BLOPT_CALL_WORK = 8_000_000
 
 
-def _rep_nll_fns(codes, rc, rw, margs, chunk):
+def _rep_nll_fns(codes, rc, rw, margs, chunk, impl="scan"):
     """codes is either (n_leaves, L) shared across replicates or
     (R, n_leaves, Lsel) per-replicate (mask-compacted columns)."""
     per_rep_codes = codes.ndim == 3
 
     def one_nll(theta, children, w, cd):
         return -loglik_weighted(cd, children, _softplus(theta), *margs,
-                                w, chunk=chunk, remat=True)
+                                w, chunk=chunk, remat=True, impl=impl)
 
     nll_v = jax.vmap(one_nll,
                      in_axes=(0, 0, 0, 0 if per_rep_codes else None))
@@ -177,15 +178,18 @@ def _rep_nll_fns(codes, rc, rw, margs, chunk):
     return nll, total
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "chunk", "lr"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "chunk", "lr",
+                                             "impl"))
 def _rep_blopt_seg(codes, rw, rc, theta, mu, nu, t0, eig, u, ui, pi,
-                   rates, n_steps: int, chunk: int, lr: float):
+                   rates, n_steps: int, chunk: int, lr: float,
+                   impl: str = "scan"):
     """`n_steps` Adam steps on the vmapped replicate nll; the optimizer
     state (mu, nu, t) is carried across calls.  Update arithmetic
     matches optax.adam(lr) defaults exactly (b1=.9, b2=.999, eps=1e-8)
     so segmented and single-call runs agree."""
     b1, b2, eps = 0.9, 0.999, 1e-8
-    _, total = _rep_nll_fns(codes, rc, rw, (eig, u, ui, pi, rates), chunk)
+    _, total = _rep_nll_fns(codes, rc, rw, (eig, u, ui, pi, rates), chunk,
+                            impl=impl)
 
     def body(carry, _):
         theta, mu, nu, t = carry
@@ -203,9 +207,11 @@ def _rep_blopt_seg(codes, rw, rc, theta, mu, nu, t0, eig, u, ui, pi,
     return theta, mu, nu, t
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _rep_ll_jit(codes, rw, rc, theta, eig, u, ui, pi, rates, chunk: int):
-    nll, _ = _rep_nll_fns(codes, rc, rw, (eig, u, ui, pi, rates), chunk)
+@functools.partial(jax.jit, static_argnames=("chunk", "impl"))
+def _rep_ll_jit(codes, rw, rc, theta, eig, u, ui, pi, rates, chunk: int,
+                impl: str = "scan"):
+    nll, _ = _rep_nll_fns(codes, rc, rw, (eig, u, ui, pi, rates), chunk,
+                          impl=impl)
     return -nll(theta, rc, rw)
 
 
@@ -301,6 +307,9 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
 
     margs = tuple(jnp.asarray(x) for x in
                   (model.eig, model.u, model.u_inv, model.pi, model.rates))
+    # gradient engine: the Pallas forward+backward kernels when the
+    # tree fits VMEM (r4 custom VJP), else the remat XLA scan
+    impl = forward_impl(n_nodes)
     # segment the optimizer into tunnel-safe device calls
     seg = max(1, int(MAX_BLOPT_CALL_WORK
                      // max(rw.shape[0] * rw.shape[1], 1)))
@@ -313,9 +322,10 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
         n = min(seg, steps - done)
         theta, mu, nu, t = _rep_blopt_seg(
             codes_s, rw_s, rc_s, theta, mu, nu, t, *margs,
-            n_steps=n, chunk=chunk, lr=lr)
+            n_steps=n, chunk=chunk, lr=lr, impl=impl)
         done += n
-    ll = _rep_ll_jit(codes_s, rw_s, rc_s, theta, *margs, chunk=chunk)
+    ll = _rep_ll_jit(codes_s, rw_s, rc_s, theta, *margs,
+                     chunk=chunk, impl=impl)
     blen = _softplus(theta)
     if jax.process_count() > 1:
         # multi-host: outputs are sharded across processes; gather the

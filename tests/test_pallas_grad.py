@@ -98,3 +98,34 @@ def test_grad_pmats_multi_tile(problem):
         pmats_bd, jnp.asarray(pi), jnp.asarray(ct), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_blen_grads_through_pallas_forward(problem):
+    """End-to-end branch-length gradients: Pallas forward + backward
+    (custom VJP) must match the XLA scan's autodiff."""
+    from pepr_tpu.ops.likelihood import (WagModel, loglik_sites,
+                                         loglik_sites_pallas)
+    codes, arr, _, _ = problem
+    model = WagModel.create(alpha=0.8)
+    rng = np.random.default_rng(5)
+    w = rng.random(codes.shape[1]).astype(np.float32)
+    margs = (jnp.asarray(model.eig), jnp.asarray(model.u),
+             jnp.asarray(model.u_inv), jnp.asarray(model.pi),
+             jnp.asarray(model.rates))
+    cd = jnp.asarray(codes)
+    ch = jnp.asarray(arr.children)
+    bl = jnp.asarray(arr.blen)
+    wd = jnp.asarray(w)
+
+    def f_pallas(blen):
+        return (loglik_sites_pallas(cd, ch, blen, *margs,
+                                    interpret=True) * wd).sum()
+
+    def f_scan(blen):
+        return (loglik_sites(cd, ch, blen, *margs) * wd).sum()
+
+    v1, g1 = jax.value_and_grad(f_pallas)(bl)
+    v2, g2 = jax.value_and_grad(f_scan)(bl)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-3, atol=2e-4)

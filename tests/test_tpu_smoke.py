@@ -118,3 +118,41 @@ def test_hmm_bucket_on_tpu(tpu_device, rng):
     bits = profile_score_pairs([member, junk], [hmm], [(0, 0), (1, 0)])
     assert np.isfinite(bits).all()
     assert bits[0] > bits[1]
+
+
+def test_blopt_pallas_gradient_path_on_tpu(tpu_device, rng):
+    """The r4 custom-VJP gradient path: replicate BL-opt on the Pallas
+    forward+backward kernels matches the XLA-scan engine on-device."""
+    import os
+
+    from pepr_tpu.ops.likelihood import WagModel, tree_to_arrays
+    from pepr_tpu.parallel.mesh import default_mesh, sharded_replicate_blopt
+    from pepr_tpu.tree import parse_newick
+    from pepr_tpu.utils.simulate import simulate_alignment
+
+    r = np.random.default_rng(2)
+    tree = parse_newick("(((A:0.12,B:0.3):0.15,(C:0.1,D:0.25):0.2):0.1,"
+                        "(E:0.4,F:0.08):0.18);")
+    codes, taxa = simulate_alignment(tree, 1024, r)
+    arr = tree_to_arrays(tree, taxa)
+    model = WagModel.create()
+    R = 2
+    masks = (r.random((R, 1024)) < 0.5).astype(np.float32)
+    ch = np.stack([arr.children] * R)
+    bl = np.stack([arr.blen] * R)
+    mesh = default_mesh()
+    old = os.environ.get("PEPR_LIKELIHOOD_IMPL")
+    try:
+        os.environ["PEPR_LIKELIHOOD_IMPL"] = "pallas"
+        b1, l1 = sharded_replicate_blopt(mesh, codes, masks, ch, bl,
+                                         model, steps=15)
+        os.environ["PEPR_LIKELIHOOD_IMPL"] = "scan"
+        b2, l2 = sharded_replicate_blopt(mesh, codes, masks, ch, bl,
+                                         model, steps=15)
+    finally:
+        if old is None:
+            os.environ.pop("PEPR_LIKELIHOOD_IMPL", None)
+        else:
+            os.environ["PEPR_LIKELIHOOD_IMPL"] = old
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
+    np.testing.assert_allclose(b1, b2, rtol=0.05, atol=0.01)
