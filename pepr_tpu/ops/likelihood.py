@@ -212,11 +212,14 @@ def _norm_chunk(L: int, chunk: int) -> int:
 # carries a custom VJP (backward Pallas kernel), so gradient paths
 # (branch-length optimization) ride it too whenever the tree fits.
 # Tests can pin the implementation via PEPR_LIKELIHOOD_IMPL=scan|pallas.
-def forward_impl(n_nodes: int | None = None) -> str:
+def forward_impl(n_nodes: int | None = None, grad: bool = False) -> str:
     """Pick the forward engine.  With `n_nodes` given, falls back to
     the scan when the site-tiled kernel's all-nodes-resident VMEM
-    layout cannot fit that tree size."""
-    impl = os.environ.get("PEPR_LIKELIHOOD_IMPL")
+    layout cannot fit that tree size.  Differentiated call sites pass
+    `grad=True` so the gate also accounts for the BACKWARD kernel's
+    larger footprint (upper messages + logm + grad accumulator)."""
+    pinned = os.environ.get("PEPR_LIKELIHOOD_IMPL")
+    impl = pinned
     if impl not in ("scan", "pallas"):
         try:
             platform = jax.devices()[0].platform
@@ -224,8 +227,19 @@ def forward_impl(n_nodes: int | None = None) -> str:
             return "scan"
         impl = "pallas" if platform in ("tpu", "axon") else "scan"
     if impl == "pallas" and n_nodes is not None:
-        from pepr_tpu.ops.pallas_pruning import pallas_fits
-        if not pallas_fits(n_nodes):
+        from pepr_tpu.ops.pallas_pruning import pallas_fits, pallas_fits_grad
+        fits = pallas_fits_grad(n_nodes) if grad else pallas_fits(n_nodes)
+        if not fits:
+            if pinned == "pallas":
+                # an explicit pin silently measuring the scan path is
+                # the failure mode bench.py was hardened against — be
+                # loud (tests/benches pinning pallas must see this)
+                import logging
+                logging.getLogger("pepr_tpu").warning(
+                    "PEPR_LIKELIHOOD_IMPL=pallas pinned but tree of "
+                    "%d nodes exceeds the %s kernel's VMEM budget; "
+                    "falling back to scan", n_nodes,
+                    "backward" if grad else "forward")
             return "scan"
     return impl
 

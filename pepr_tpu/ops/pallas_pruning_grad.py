@@ -38,11 +38,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pepr_tpu.alphabet import N_AA
-from pepr_tpu.ops.pallas_pruning import A_PAD, CA, N_CATS, S_TILE
+from pepr_tpu.ops.pallas_pruning import (A_PAD, CA, N_CATS,
+                                         RESCALE_EVERY, S_TILE, _kdot,
+                                         _kdot_ff, dot_mode, split_bf16)
 
 
-def _fwd_sweep(children_ref, codes_ref, pmats_ref, pi_ref, partials,
-               logm, logscale):
+def _fwd_sweep(children_ref, codes_ref, pmats_hi_ref, pmats_lo_ref,
+               pi_ref, partials, logm, logscale, mode: str):
     """Forward pruning pass storing per-internal-node rescale logs.
     Mirrors pallas_pruning._kernel exactly (same rescaling)."""
     n_int = children_ref.shape[0]
@@ -59,34 +61,63 @@ def _fwd_sweep(children_ref, codes_ref, pmats_ref, pi_ref, partials,
         tip = jnp.where(ambig, live[:, None], onehot)
         partials[leaf] = jnp.tile(tip, (C, 1))
 
-    logscale[...] = jnp.zeros((C, S), jnp.float32)
+    logscale[...] = jnp.zeros((1, S), jnp.float32)
 
     def node_step(i, _):
         node = n_leaves + i
-        prod = jnp.ones((CA, S), jnp.float32)
-        for k in range(3):
-            cid = children_ref[i, k]
 
-            def apply_child(prod):
-                child = partials[pl.ds(jnp.maximum(cid, 0), 1)][0]
-                p = pmats_ref[pl.ds(jnp.maximum(cid, 0), 1)][0]
-                return prod * jnp.dot(
-                    p, child, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+        def child_term(cid):
+            child = partials[pl.ds(jnp.maximum(cid, 0), 1)][0]
+            p_hi = pmats_hi_ref[pl.ds(jnp.maximum(cid, 0), 1)][0]
+            p_lo = pmats_lo_ref[pl.ds(jnp.maximum(cid, 0), 1)][0]
+            return _kdot(p_hi, p_lo, child, mode)
 
-            prod = jax.lax.cond(cid >= 0, apply_child, lambda p: p, prod)
-        pc = prod.reshape(C, A_PAD, S)
-        m = jnp.maximum(jnp.max(pc, axis=1), 1e-30)  # (C, S)
-        partials[pl.ds(node, 1)] = (pc / m[:, None, :]).reshape(1, CA, S)
-        logm[pl.ds(i, 1)] = jnp.log(m)[None]
-        logscale[...] = logscale[...] + jnp.log(m)
+        # children 0/1 unconditional, matching the forward kernel
+        prod = child_term(children_ref[i, 0]) \
+            * child_term(children_ref[i, 1])
+        cid2 = children_ref[i, 2]
+        prod = jax.lax.cond(
+            cid2 >= 0, lambda p: p * child_term(cid2), lambda p: p, prod)
+
+        # shared-scale sparse rescaling — MUST mirror the forward
+        # kernel exactly (pallas_pruning._kernel); logm stores the
+        # per-node factor (zero on skipped nodes)
+        def _do_rescale():
+            m = jnp.maximum(jnp.max(prod, axis=0), 1e-30)  # (S,)
+            lm = jnp.log(m)[None, :]
+            logscale[...] = logscale[...] + lm
+            logm[pl.ds(i, 1)] = lm[None]
+            partials[pl.ds(node, 1)] = \
+                (prod * pl.reciprocal(m, approx=False)[None, :]
+                 ).reshape(1, CA, S)
+
+        def _no_rescale():
+            logm[pl.ds(i, 1)] = jnp.zeros((1, 1, S), jnp.float32)
+            partials[pl.ds(node, 1)] = prod.reshape(1, CA, S)
+
+        if isinstance(i, int):  # unrolled: static predicate
+            if i % RESCALE_EVERY == RESCALE_EVERY - 1 or i == n_int - 1:
+                _do_rescale()
+            else:
+                _no_rescale()
+            return 0
+
+        resc = (i % RESCALE_EVERY == RESCALE_EVERY - 1) | (i == n_int - 1)
+        pl.when(resc)(_do_rescale)
+        pl.when(jnp.logical_not(resc))(_no_rescale)
         return 0
 
-    jax.lax.fori_loop(0, n_int, node_step, 0)
+    from pepr_tpu.ops.pallas_pruning import UNROLL_MAX_NODES
+    if n_int <= UNROLL_MAX_NODES:
+        for i in range(n_int):
+            node_step(i, 0)
+    else:
+        jax.lax.fori_loop(0, n_int, node_step, 0)
 
 
-def _bwd_kernel(children_ref, codes_ref, pmats_ref, pi_ref, ct_ref,
-                grad_ref, partials, logm, logscale, upper):
+def _bwd_kernel(children_ref, codes_ref, pmats_hi_ref, pmats_lo_ref,
+                pi_ref, ct_ref, grad_ref, partials, logm, logscale,
+                upper, *, mode: str):
     """One site tile: forward recompute + reverse sweep accumulating
     d(sum_s ct_s * ll_s)/dP into grad_ref (V, CA, CA).
 
@@ -98,8 +129,8 @@ def _bwd_kernel(children_ref, codes_ref, pmats_ref, pi_ref, ct_ref,
     C = N_CATS
     S = codes_ref.shape[1]
 
-    _fwd_sweep(children_ref, codes_ref, pmats_ref, pi_ref, partials,
-               logm, logscale)
+    _fwd_sweep(children_ref, codes_ref, pmats_hi_ref, pmats_lo_ref,
+               pi_ref, partials, logm, logscale, mode)
 
     # per-site ll (identical to the forward kernel's epilogue)
     root = partials[pl.ds(n_leaves + n_int - 1, 1)][0].reshape(
@@ -125,73 +156,75 @@ def _bwd_kernel(children_ref, codes_ref, pmats_ref, pi_ref, ct_ref,
     def node_step(j, _):
         i = n_int - 1 - j  # reverse preorder over internal nodes
         u_node = upper[pl.ds(i, 1)][0]  # (CA, S) rescaled upper U~_u
-        # coefficient exp(logscale - logm_u - lse) * ct, per (c, s),
-        # replicated across each category's A_PAD block
-        coef = jnp.exp(logscale[...] - logm[pl.ds(i, 1)][0]
-                       - lse[None, :]) * ct[None, :]  # (C, S)
-        coef_ca = jnp.broadcast_to(coef[:, None, :],
-                                   (C, A_PAD, S)).reshape(CA, S)
+        # coefficient exp(logscale - logm_u - lse) * ct, shared across
+        # categories and states (scales are per-site under the
+        # shared-scale scheme); broadcasts against (CA, S) operands
+        coef_ca = jnp.exp(logscale[...] - logm[pl.ds(i, 1)][0]
+                          - lse[None, :]) * ct[None, :]  # (1, S)
 
-        # child messages T~_w = P_w D~_w (pure values, cond is fine)
-        msgs = []
-        for k in range(3):
-            cid = children_ref[i, k]
+        # child messages T~_w = P_w D~_w (children 0/1 unconditional,
+        # matching the forward kernel's convention)
+        def mk(cid):
+            child = partials[pl.ds(jnp.maximum(cid, 0), 1)][0]
+            p_hi = pmats_hi_ref[pl.ds(jnp.maximum(cid, 0), 1)][0]
+            p_lo = pmats_lo_ref[pl.ds(jnp.maximum(cid, 0), 1)][0]
+            return _kdot(p_hi, p_lo, child, mode)
 
-            def mk(_, cid=cid):
-                child = partials[pl.ds(jnp.maximum(cid, 0), 1)][0]
-                p = pmats_ref[pl.ds(jnp.maximum(cid, 0), 1)][0]
-                return jnp.dot(p, child,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+        cid2 = children_ref[i, 2]
+        msgs = [mk(children_ref[i, 0]), mk(children_ref[i, 1]),
+                jax.lax.cond(cid2 >= 0, mk,
+                             lambda _: jnp.ones((CA, S), jnp.float32),
+                             cid2)]
 
-            msgs.append(jax.lax.cond(
-                cid >= 0, mk, lambda _: jnp.ones((CA, S), jnp.float32),
-                0))
+        def edge_body(k, cid):
+            others = u_node
+            for k2 in range(3):
+                if k2 != k:
+                    others = others * msgs[k2]
+            m_v = others  # (CA, S) upper message excluding child k
+            idx = jnp.maximum(cid, 0)
+            child = partials[pl.ds(idx, 1)][0]
+            m_hat = m_v * coef_ca
+            # per-edge gradient outer product over sites
+            g = _kdot_ff(m_hat, child, mode,
+                         (((1,), (1,)), ((), ())))  # (CA, CA)
+            grad_ref[pl.ds(idx, 1)] = grad_ref[pl.ds(idx, 1)] + \
+                g[None]
 
-        for k in range(3):
-            cid = children_ref[i, k]
+            # push the upper partial down to internal children,
+            # rescaled by THIS node's forward factor m_u
+            @pl.when(cid >= n_leaves)
+            def _push():
+                p_hi = pmats_hi_ref[pl.ds(idx, 1)][0]
+                p_lo = pmats_lo_ref[pl.ds(idx, 1)][0]
+                u_child = _kdot(p_hi, p_lo, m_v, mode,
+                                (((0,), (0,)), ((), ())))  # (CA, S)
+                scale = jnp.exp(-logm[pl.ds(i, 1)][0])  # (1, S)
+                upper[pl.ds(cid - n_leaves, 1)] = \
+                    (u_child * scale)[None]
 
-            @pl.when(cid >= 0)
-            def _edge(k=k, cid=cid):
-                others = u_node
-                for k2 in range(3):
-                    if k2 != k:
-                        others = others * msgs[k2]
-                m_v = others  # (CA, S) upper message excluding child k
-                idx = jnp.maximum(cid, 0)
-                child = partials[pl.ds(idx, 1)][0]
-                m_hat = m_v * coef_ca
-                # per-edge gradient outer product over sites
-                g = jax.lax.dot_general(
-                    m_hat, child, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (CA, CA)
-                grad_ref[pl.ds(idx, 1)] = grad_ref[pl.ds(idx, 1)] + \
-                    g[None]
+        edge_body(0, children_ref[i, 0])
+        edge_body(1, children_ref[i, 1])
 
-                # push the upper partial down to internal children,
-                # rescaled by THIS node's forward factor m_u
-                @pl.when(cid >= n_leaves)
-                def _push():
-                    p = pmats_ref[pl.ds(idx, 1)][0]
-                    u_child = jax.lax.dot_general(
-                        p, m_v, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (CA, S)
-                    scale = jnp.exp(-logm[pl.ds(i, 1)][0])  # (C, S)
-                    u_child = (u_child.reshape(C, A_PAD, S)
-                               * scale[:, None, :]).reshape(CA, S)
-                    upper[pl.ds(cid - n_leaves, 1)] = u_child[None]
+        @pl.when(cid2 >= 0)
+        def _edge2():
+            edge_body(2, cid2)
         return 0
 
-    jax.lax.fori_loop(0, n_int, node_step, 0)
+    from pepr_tpu.ops.pallas_pruning import UNROLL_MAX_NODES
+    if n_int <= UNROLL_MAX_NODES:
+        for j in range(n_int):
+            node_step(j, 0)
+    else:
+        jax.lax.fori_loop(0, n_int, node_step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
 def pruning_grad_pmats_pallas(codes: jax.Array, children: jax.Array,
                               pmats_bd: jax.Array, pi: jax.Array,
                               ct: jax.Array,
-                              interpret: bool = False) -> jax.Array:
+                              interpret: bool = False,
+                              mode: str | None = None) -> jax.Array:
     """d(sum_s ct_s * ll_s)/d pmats_bd, (V, CA, CA).
 
     codes: (n_leaves, L) int8, L a multiple of S_TILE.
@@ -202,14 +235,18 @@ def pruning_grad_pmats_pallas(codes: jax.Array, children: jax.Array,
     n_int = children.shape[0]
     V = n_leaves + n_int
     grid = (L // S_TILE,)
+    mode = dot_mode() if mode is None else mode
+    p_hi, p_lo = split_bf16(pmats_bd)
 
     grad = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, mode=mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((n_leaves, S_TILE), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((V, CA, CA), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((V, CA, CA), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -222,14 +259,14 @@ def pruning_grad_pmats_pallas(codes: jax.Array, children: jax.Array,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((V, CA, S_TILE), jnp.float32),
-                pltpu.VMEM((n_int, N_CATS, S_TILE), jnp.float32),
-                pltpu.VMEM((N_CATS, S_TILE), jnp.float32),
+                pltpu.VMEM((n_int, 1, S_TILE), jnp.float32),
+                pltpu.VMEM((1, S_TILE), jnp.float32),
                 pltpu.VMEM((n_int, CA, S_TILE), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((V, CA, CA), jnp.float32),
         interpret=interpret,
-    )(children, codes, pmats_bd, pi, ct.reshape(1, L))
+    )(children, codes, p_hi, p_lo, pi, ct.reshape(1, L))
     # zero the off-block region (fused outer products put garbage in
     # the cross-category blocks, which block_diag_pmats never reads
     # but whose cotangents must be exact zeros)

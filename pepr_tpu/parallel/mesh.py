@@ -309,7 +309,7 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
                   (model.eig, model.u, model.u_inv, model.pi, model.rates))
     # gradient engine: the Pallas forward+backward kernels when the
     # tree fits VMEM (r4 custom VJP), else the remat XLA scan
-    impl = forward_impl(n_nodes)
+    impl = forward_impl(n_nodes, grad=True)
     # segment the optimizer into tunnel-safe device calls
     seg = max(1, int(MAX_BLOPT_CALL_WORK
                      // max(rw.shape[0] * rw.shape[1], 1)))
