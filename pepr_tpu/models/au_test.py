@@ -101,14 +101,17 @@ def au_test(sitelh: np.ndarray, n_reps: int = 2000,
         dens = np.exp(-0.5 * z ** 2) / np.sqrt(2 * np.pi)
         w = (dens ** 2) * n_reps / np.maximum(p * (1 - p), 1e-12)
         X = np.stack([x1, x2], axis=1)
-        W = np.diag(w)
-        beta, *_ = np.linalg.lstsq(W @ X, W @ z, rcond=None)
+        # inverse-variance WLS: scale design/response by sqrt(w) so the
+        # objective is sum w_i r_i^2 (not w_i^2 r_i^2)
+        sw = np.sqrt(w)
+        beta, *_ = np.linalg.lstsq(sw[:, None] * X, sw * z, rcond=None)
         d, c = beta
         dd[t], cc[t] = d, c
         au[t] = float(_phi(-(d - c)))
     full = sitelh.sum(axis=1)
-    return AuResult(au=au, np_bp=bp[list(scales).index(1.0)]
-                    if 1.0 in list(scales) else bp[len(scales) // 2],
+    # NP column = BP at the scale closest to r=1 (exact when present)
+    np_idx = int(np.argmin(np.abs(scales - 1.0)))
+    return AuResult(au=au, np_bp=bp[np_idx],
                     obs_diff=full.max() - full, d=dd, c=cc)
 
 

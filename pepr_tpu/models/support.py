@@ -131,7 +131,8 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
                           fraction: float = 0.5, nni_rounds: int = 2,
                           bl_steps: int = 60, store=None, deadline=None,
                           on_progress=None,
-                          resample: str = "jackknife_genes") -> list[Tree]:
+                          resample: str = "jackknife_genes",
+                          max_rounds: int | None = None) -> list[Tree]:
     """All replicates at once over the device mesh — the TPU-native
     replacement for the reference's RAM-throttled jackknife thread pool
     (PhylogenomicPipeline2.java:1039-1099).
@@ -148,8 +149,7 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
 
     import jax.numpy as jnp
 
-    from pepr_tpu.models.treebuild import (_apply_swaps, _nni_moves,
-                                           _postorder_fix, _remap_blen,
+    from pepr_tpu.models.treebuild import (_nni_candidate, _nni_moves,
                                            _score_topologies_w,
                                            nj_start_tree, tree_to_arrays,
                                            arrays_to_tree)
@@ -257,8 +257,9 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
     # (~4*log2(N)); nni_rounds acts as a floor, not the budget — r3's
     # ery run showed 94/100 replicates still moving when the old
     # fixed-2-round loop stopped
-    max_rounds = max(nni_rounds,
-                     4 * int(np.ceil(np.log2(max(n_leaves, 4)))))
+    if max_rounds is None:
+        max_rounds = max(nni_rounds,
+                         4 * int(np.ceil(np.log2(max(n_leaves, 4)))))
     for rnd in range(round_done, max_rounds):
         # build every replicate's NNI neighborhood
         cand_children, cand_blen, cand_w, cand_rep = [], [], [], []
@@ -267,11 +268,10 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
             moves = _nni_moves(children[r], n_leaves)
             per_rep_moves.append(moves)
             for m in moves:
-                f = _postorder_fix(_apply_swaps(children[r], n_leaves,
-                                                [m]), n_leaves)
+                f, nb = _nni_candidate(children[r], blens[r], n_leaves,
+                                       [m])
                 cand_children.append(f)
-                cand_blen.append(_remap_blen(children[r], f, blens[r],
-                                             n_leaves))
+                cand_blen.append(nb)
                 cand_w.append(masks[r])
                 cand_rep.append(r)
         scores = np.zeros(len(cand_children))
@@ -310,10 +310,9 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
                     continue
                 touched |= {k_c, k_p}
                 taken.append(per_rep_moves[r][int(idx)])
-            fixed = _postorder_fix(_apply_swaps(children[r], n_leaves,
-                                                [m for m in taken]),
-                                   n_leaves)
-            blens[r] = _remap_blen(children[r], fixed, blens[r], n_leaves)
+            fixed, nb = _nni_candidate(children[r], blens[r], n_leaves,
+                                       taken)
+            blens[r] = nb
             new_children[r] = fixed
             moved.append(r)
         children = new_children
@@ -334,7 +333,7 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
                  len(moved), reps)
         if rnd == max_rounds - 1:
             log.warning("support: NNI round cap %d hit with %d "
-                        "replicates still moving", max_rounds, changed)
+                        "replicates still moving", max_rounds, len(moved))
         check(f"support NNI round {rnd}")
 
     trees = []

@@ -30,27 +30,46 @@ from pepr_tpu.tree.nj import neighbor_joining
 
 # -- distances -------------------------------------------------------------
 
+@jax.jit
+def _pair_counts(codes: jax.Array, w: jax.Array):
+    """Weighted pairwise (valid-overlap, same-residue) count matrices
+    as one-hot MXU contractions: overlap = (V.w) @ V.T and, per
+    residue a, same += (X_a.w) @ X_a.T with X_a = [codes == a] — the
+    device replacement for the old O(n^2 L) host double loop (the
+    matrix dominates NJ-start wall time at BASELINE's 200-1000
+    genomes).  HIGHEST precision keeps the integer counts exact on the
+    MXU (bf16 passes would round them)."""
+    hi = jax.lax.Precision.HIGHEST
+    vf = (codes < N_AA).astype(jnp.float32)
+    overlap = jnp.dot(vf * w[None, :], vf.T, precision=hi)
+
+    def body(a, same):
+        xa = (codes == a).astype(jnp.float32)
+        return same + jnp.dot(xa * w[None, :], xa.T, precision=hi)
+
+    same = jax.lax.fori_loop(0, N_AA, body, jnp.zeros_like(overlap))
+    return overlap, same
+
+
 def protein_distances(mat: np.ndarray, site_weights: np.ndarray | None = None,
                       max_dist: float = 5.0) -> np.ndarray:
     """Kimura-corrected pairwise distances d = -ln(1 - p - p^2/5) over
     shared non-gap columns (the protein-distance convention FastTree
-    uses for its NJ phase)."""
+    uses for its NJ phase).  The O(n^2 L) counting runs on device
+    (_pair_counts); only the O(n^2) log transform stays on host."""
     n, L = mat.shape
-    valid = (mat < N_AA)
-    w = np.ones(L) if site_weights is None else np.asarray(site_weights)
-    d = np.zeros((n, n))
-    for i in range(n):
-        for j in range(i + 1, n):
-            both = valid[i] & valid[j]
-            wt = w * both
-            tot = wt.sum()
-            if tot <= 0:
-                p = 0.75
-            else:
-                p = float((wt * (mat[i] != mat[j])).sum() / tot)
-            arg = 1.0 - p - 0.2 * p * p
-            dist = max_dist if arg <= 1e-6 else min(-np.log(arg), max_dist)
-            d[i, j] = d[j, i] = dist
+    w = np.ones(L, np.float32) if site_weights is None else \
+        np.asarray(site_weights, np.float32)
+    overlap, same = _pair_counts(jnp.asarray(np.asarray(mat, np.int8)),
+                                 jnp.asarray(w))
+    overlap = np.asarray(overlap, np.float64)
+    same = np.asarray(same, np.float64)
+    p = np.where(overlap > 0,
+                 (overlap - same) / np.maximum(overlap, 1e-9), 0.75)
+    arg = 1.0 - p - 0.2 * p * p
+    d = np.where(arg <= 1e-6, max_dist,
+                 np.minimum(-np.log(np.maximum(arg, 1e-12)), max_dist))
+    np.fill_diagonal(d, 0.0)
     return d
 
 
@@ -116,7 +135,8 @@ def optimize_branch_lengths(codes: np.ndarray, arr: TreeArrays,
         jnp.asarray(model.u_inv), jnp.asarray(model.pi),
         jnp.asarray(model.rates), jnp.asarray(w), steps,
         _norm_chunk(L, 4096),
-        impl=forward_impl(codes.shape[0] + arr.children.shape[0]))
+        impl=forward_impl(codes.shape[0] + arr.children.shape[0],
+                          grad=True))
     return np.asarray(_softplus(theta), np.float32), float(ll)
 
 
@@ -272,9 +292,13 @@ def _score_topologies_w(codes, children_batch, blen_batch, eig, u, ui, pi,
     return jax.lax.map(one, (children_batch, blen_batch, weights_batch))
 
 
-def _postorder_fix(children: np.ndarray, n_leaves: int) -> np.ndarray:
+def _postorder_perm(children: np.ndarray, n_leaves: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """Renumber internal nodes so children always precede parents (NNI
-    swaps can break the ordering invariant the scan relies on)."""
+    swaps can break the ordering invariant the scan relies on).
+    Returns (new_children, perm) where perm[old_id] = new_id over ALL
+    node ids (identity on leaves) — branch lengths follow the
+    renumbering as one gather, no leafset matching needed."""
     n_int = children.shape[0]
     kids_of = {n_leaves + k: [int(c) for c in children[k] if c >= 0]
                for k in range(n_int)}
@@ -287,44 +311,64 @@ def _postorder_fix(children: np.ndarray, n_leaves: int) -> np.ndarray:
         if node >= n_leaves:
             stack.extend(kids_of[node])
     order = [n for n in order[::-1] if n >= n_leaves]
-    remap = {old: n_leaves + i for i, old in enumerate(order)}
+    perm = np.arange(n_leaves + n_int, dtype=np.int64)
+    for i, old in enumerate(order):
+        perm[old] = n_leaves + i
     new_children = np.full_like(children, -1)
-    for old, new in remap.items():
-        row = []
-        for c in kids_of[old]:
-            row.append(remap.get(c, c))
-        for ci, c in enumerate(row):
-            new_children[new - n_leaves, ci] = c
-    return new_children
+    for old in order:
+        for ci, c in enumerate(kids_of[old]):
+            new_children[perm[old] - n_leaves, ci] = perm[c]
+    return new_children, perm
+
+
+def _postorder_fix(children: np.ndarray, n_leaves: int) -> np.ndarray:
+    return _postorder_perm(children, n_leaves)[0]
+
+
+def _nni_candidate(children: np.ndarray, blen: np.ndarray, n_leaves: int,
+                   moves: list[tuple[int, int, int, int]]
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """One NNI candidate: apply `moves`, restore postorder, and carry
+    branch lengths through the id permutation.  An NNI swap changes
+    only the swap-target internal node's descendant set (its parent
+    keeps the same leafset), so exactly those nodes get the fresh-edge
+    default — replacing the old per-candidate O(n^2) leafset matching
+    on the support fan-out's hot path (VERDICT r4 weak #5)."""
+    swapped = _apply_swaps(children, n_leaves, moves)
+    fixed, perm = _postorder_perm(swapped, n_leaves)
+    new_blen = blen.copy()
+    new_blen[perm] = blen
+    for k_c, _, _, _ in moves:
+        new_blen[perm[n_leaves + k_c]] = 0.05  # fresh edge
+    return fixed, new_blen
 
 
 def _remap_blen(children_old, children_new, blen, n_leaves):
-    """Branch lengths live on nodes; NNI + renumbering moves internal
-    node ids.  Recover the mapping by matching descendant leaf sets."""
+    """Branch lengths live on nodes; SPR regrafts move internal node
+    ids AND change descendant sets.  Recover the mapping by matching
+    descendant leaf sets (as int bitmasks — hashing a python int is
+    O(n/64), vs the old frozensets' O(n) per element)."""
 
     def leafsets(children):
-        n_int = children.shape[0]
-        sets = {}
-        for k in range(n_int):
-            node = n_leaves + k
-            s = set()
+        sets: dict[int, int] = {}
+        for k in range(children.shape[0]):
+            m = 0
             for c in children[k]:
                 if c < 0:
                     continue
-                s |= sets.get(int(c), {int(c)}) if c >= n_leaves \
-                    else {int(c)}
-            sets[node] = s
+                m |= sets[int(c)] if c >= n_leaves else (1 << int(c))
+            sets[n_leaves + k] = m
         return sets
 
-    old_sets = {frozenset(v): k for k, v in leafsets(children_old).items()}
+    old_sets = {v: k for k, v in leafsets(children_old).items()}
     new_sets = leafsets(children_new)
     blen_new = blen.copy()
-    for node, s in new_sets.items():
-        old = old_sets.get(frozenset(s))
+    for node, m in new_sets.items():
+        old = old_sets.get(m)
         if old is not None:
             blen_new[node] = blen[old]
         else:
-            blen_new[node] = 0.05  # fresh edge after the swap
+            blen_new[node] = 0.05  # fresh edge after the move
     return blen_new
 
 
@@ -516,16 +560,17 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
             moves = moves[:max_candidates]
         if not moves:
             break
-        fixed = [_postorder_fix(_apply_swaps(children, n_leaves, [m]),
-                                n_leaves) for m in moves]
+        cands = [_nni_candidate(children, arr.blen, n_leaves, [m])
+                 for m in moves]
+        fixed = [c for c, _ in cands]
+        blens = [b for _, b in cands]
         if constraint_bips is not None:
             keep = [i for i, f in enumerate(fixed) if _allowed(f)]
             moves = [moves[i] for i in keep]
             fixed = [fixed[i] for i in keep]
+            blens = [blens[i] for i in keep]
             if not moves:
                 break
-        blens = [_remap_blen(children, f, arr.blen, n_leaves)
-                 for f in fixed]
         scores = _score_candidate_arrays(codes_d, w_d, margs, site_chunk,
                                          fixed, blens)
         improving = np.nonzero(scores > ll + 1e-4)[0]
@@ -563,14 +608,13 @@ def ml_tree(mat: np.ndarray, taxa: list[str], model: WagModel | None = None,
             touched |= nodes
             taken.append(moves[int(idx)])
         prev_children, prev_blen, prev_ll = children, arr.blen.copy(), ll
-        new_children = _postorder_fix(
-            _apply_swaps(children, n_leaves, taken), n_leaves)
+        new_children, new_blen = _nni_candidate(children, arr.blen,
+                                                n_leaves, taken)
         if len(taken) > 1 and not _allowed(new_children):
             # combined moves (each individually allowed) can still
             # violate the constraint together — take the best single
             best = int(improving[np.argmax(scores[improving])])
-            new_children = fixed[best]
-        new_blen = _remap_blen(children, new_children, arr.blen, n_leaves)
+            new_children, new_blen = fixed[best], blens[best]
         reopt(new_children, new_blen, bl_refine_steps)
         if len(taken) > 1 and ll < prev_ll:
             # combined moves (scored individually) regressed — fall back

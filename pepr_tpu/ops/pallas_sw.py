@@ -67,7 +67,10 @@ def _kernel(q_ref, t_ref, sub_ref, score_ref, ml_ref, pos_ref,
     Lq = q_ref.shape[1]
     Lt = t_ref.shape[1]
     n_chunks = Lt // tc
-    n_scan = max(Lq.bit_length() - 1, 1)  # log2(Lq)
+    # exclusive prefix-max over Lq lanes needs ceil(log2(Lq)) rounds —
+    # (Lq-1).bit_length() is exact for ANY Lq (floor(log2) silently
+    # under-scans non-power-of-two rows)
+    n_scan = max((Lq - 1).bit_length(), 1)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, Lq), 1)
     code_q = jax.lax.broadcasted_iota(jnp.int32, (N_SUB, Lq), 0)

@@ -6,7 +6,9 @@ scripts/pepr.sh): -run_name, -genome_file, -outgroup, -outgroup_count,
 nj | parsimony | parsimony_bl), -mcl_inflation, -min_taxa / -max_taxa
 / -min_taxa_multiplier, -unique_species / -unique_genus,
 -congruence_filter, -matrix_eval [model,list], -alphabet nt (or -nt:
-the blastn/GTR nucleotide pipeline), -track default|fast|blat_fast|
+the blastn/GTR nucleotide pipeline), -logfile <path> (rolling file
+log, the log4j role of lib/log4j.properties:1-10),
+-track default|fast|blat_fast|
 blast_fast|blat_raxml|blast_raxml (the reference's named tracks all
 expand to the same default property list, PhyloPipeline.java:
 1102-1147; *_fast keeps the FastTree full-tree method).
@@ -21,7 +23,7 @@ from __future__ import annotations
 import sys
 
 from pepr_tpu.pipeline.pepr import PeprConfig, run_pepr
-from pepr_tpu.utils.cli import RunProperties, expand_paths
+from pepr_tpu.utils.cli import RunProperties, expand_paths, setup_logfile
 
 
 def config_from_args(argv: list[str]) -> PeprConfig:
@@ -113,6 +115,10 @@ def main(argv: list[str] | None = None) -> int:
     if not argv or "-h" in argv or "--help" in argv:
         print(__doc__)
         return 0
+    rp = RunProperties(argv)
+    logfile = rp.get("logfile")
+    if logfile:
+        setup_logfile(logfile)
     cfg = config_from_args(argv)
     if not cfg.genome_files:
         print("error: -genome_file is required", file=sys.stderr)

@@ -130,3 +130,25 @@ def expand_paths(patterns: list[str]) -> list[str]:
         else:
             out.append(p)
     return out
+
+
+def setup_logfile(path: str, max_bytes: int = 10 * 2 ** 20,
+                  backups: int = 100) -> None:
+    """Rolling-file log handler — the reference's log4j
+    RollingFileAppender role (lib/log4j.properties:1-10: 10MB files,
+    100 backups, `-Dlogfile.name` via scripts/pepr.sh:15).  Attaches
+    to the root logger at INFO so every pepr_tpu stage line lands in
+    the file as well as the console."""
+    import logging
+    import logging.handlers
+
+    handler = logging.handlers.RotatingFileHandler(
+        path, maxBytes=max_bytes, backupCount=backups)
+    handler.setFormatter(logging.Formatter(
+        "%(asctime)s %(levelname)-5s %(name)s - %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S"))
+    handler.setLevel(logging.INFO)
+    root = logging.getLogger()
+    if root.level > logging.INFO or root.level == logging.NOTSET:
+        root.setLevel(logging.INFO)
+    root.addHandler(handler)

@@ -69,3 +69,36 @@ def test_filter_duplicate_species_keeps_larger():
     kept = filter_duplicate_species([g1, g2, g3])
     assert len(kept) == 2
     assert kept[0].taxon == "Copro_sp_B"  # larger genome wins
+
+
+def test_nni_round_cap_with_replicates_still_moving(rng, tmp_path, caplog):
+    """Drive support_trees_batched into the NNI round cap while
+    replicates are still moving — r4's production crash (NameError in
+    the cap warning, support.py:337) lived exactly on this path."""
+    import logging
+
+    from pepr_tpu.models.support import support_trees_batched
+    from pepr_tpu.pipeline.checkpoint import CheckpointStore
+    from pepr_tpu.tree import to_newick
+
+    tree = parse_newick(
+        "(((A:0.1,B:0.1):0.2,(C:0.1,D:0.1):0.2):0.1,"
+        "(E:0.1,F:0.1):0.2);")
+    genes = []
+    for g in range(6):
+        codes, taxa = simulate_alignment(tree, 60, rng)
+        genes.append(Alignment(f"g{g}", taxa, codes))
+    cat = concatenate(genes)
+    # pre-seed deliberately WRONG starting topologies so round 0 is
+    # guaranteed to find improving NNI moves for every replicate
+    bad = ("((A:0.1,F:0.1):0.1,(B:0.1,E:0.1):0.1,"
+           "(C:0.1,D:0.1):0.1);")
+    store = CheckpointStore(str(tmp_path / "cap_ckpt"))
+    store.save("support_starts", [bad, bad])
+    with caplog.at_level(logging.WARNING, logger="pepr_tpu"):
+        trees = support_trees_batched(cat, 2, seed=7, bl_steps=15,
+                                      store=store, max_rounds=1)
+    assert len(trees) == 2
+    for t in trees:
+        assert to_newick(t)  # well-formed output despite the cap
+    assert any("round cap" in r.message for r in caplog.records)

@@ -98,3 +98,26 @@ def test_congruence_filter_drops_outlier(rng):
     kept = filter_congruent(genes, drop_fraction=0.1)
     assert len(kept) == 9
     assert all(a.name != "outlier" for a in kept)
+
+
+def test_setup_logfile_rolling_handler(tmp_path):
+    import logging
+
+    from pepr_tpu.utils.cli import setup_logfile
+
+    path = str(tmp_path / "run.log")
+    setup_logfile(path)
+    try:
+        logging.getLogger("pepr_tpu").info("stage line %d", 7)
+        for h in logging.getLogger().handlers:
+            h.flush()
+        with open(path) as fh:
+            text = fh.read()
+        assert "stage line 7" in text
+        assert "INFO" in text
+    finally:  # detach so other tests' logging is unaffected
+        root = logging.getLogger()
+        for h in list(root.handlers):
+            if getattr(h, "baseFilename", None) == path:
+                root.removeHandler(h)
+                h.close()
