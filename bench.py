@@ -9,8 +9,10 @@ Primary metric: pruning-likelihood site evaluations per second
 support (the reference has no published numbers, BASELINE.md, so
 vs_baseline is against the recorded self-baseline below).
 
-Extra metrics (Smith-Waterman GCUPS, NW profile-align GCUPS) go to
-stderr so the driver's one-line contract holds.
+Extra metrics go to stderr so the driver's one-line contract holds:
+Smith-Waterman GCUPS (both impls), NW profile-align GCUPS, HMM
+Viterbi DP Mcells/s, MCL expand/inflate iterations/s, and the pruning
+kernel's mfu_pct (useful MXU FLOPs vs the chip's bf16 peak).
 """
 
 from __future__ import annotations
@@ -100,13 +102,105 @@ def bench_likelihood(n_taxa=16, L=131072, evals_per_call=8, iters=4):
     n_edges = n_nodes - 1
     C = len(model.rates)
     flops = n_edges * C * 2 * 20 * 20 * L
+    # MFU against the chip's bf16 MXU peak (TPU v5e: ~197 TFLOP/s).
+    # The kernel's measured wall (r5 on-chip ablations): a zero-compute
+    # node walk (reads+writes of the (CA, S) partials only) already
+    # costs ~70% of the full kernel — the layout is VMEM-bandwidth
+    # bound, not MXU bound; the dots themselves (3 bf16 passes after
+    # the r5 hi/lo decomposition) are ~25% of runtime.  Raising MFU
+    # further means cutting VMEM traffic (bf16-resident partials),
+    # not more MXU work.
+    peak = 197e12
+    mfu = flops / per_eval / peak * 100.0
     print(f"likelihood: single-eval dispatch {single*1e3:.1f} ms "
           f"(RTT-bound floor); amortized {per_eval*1e3:.2f} ms/eval "
           f"over {evals_per_call}-eval dispatches", file=sys.stderr)
     print(f"likelihood: ~{flops/per_eval/1e12:.2f} TFLOP/s useful "
-          f"({flops/1e9:.1f} GFLOP/eval; MXU-dot FLOPs only)",
-          file=sys.stderr)
+          f"({flops/1e9:.1f} GFLOP/eval; MXU-dot FLOPs only); "
+          f"mfu_pct={mfu:.2f}", file=sys.stderr)
     return L / per_eval, per_eval
+
+
+def bench_nw_profile(batch=256, L=128, iters=5):
+    """Profile-profile Needleman-Wunsch GCUPS (the muscle-replacement
+    merge kernel, ops/profile_align.py)."""
+    import jax.numpy as jnp
+    from pepr_tpu.ops.profile_align import nw_profile_batch
+
+    rng = np.random.default_rng(2)
+    p = rng.dirichlet(np.ones(20), size=(batch, L)).astype(np.float32)
+    q = rng.dirichlet(np.ones(20), size=(batch, L)).astype(np.float32)
+    l1 = np.full(batch, L, np.int32)
+    args = (jnp.asarray(p), jnp.asarray(q), jnp.asarray(l1),
+            jnp.asarray(l1))
+    np.asarray(nw_profile_batch(*args, packed=True)[0])  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(nw_profile_batch(*args, packed=True)[0])
+    dt = (time.perf_counter() - t0) / iters
+    return batch * L * L / dt, dt, (batch, L)
+
+
+def bench_hmm(batch=256, L=512, M=256, iters=5):
+    """Plan7 local Viterbi DP throughput in Mcells/s (cell = one
+    (residue, match-state) update; hmmsearch-replacement kernel)."""
+    import jax.numpy as jnp
+    from pepr_tpu.ops.hmm import viterbi_score_batch
+
+    rng = np.random.default_rng(3)
+    seqs = rng.integers(0, 20, size=(batch, L)).astype(np.int8)
+    lens = np.full(batch, L, np.int32)
+    emit = rng.normal(0, 1, size=(batch, 20, M)).astype(np.float32)
+    tr = [np.full((batch, M + 1), -0.5, np.float32) for _ in range(7)]
+    m_lens = np.full(batch, M, np.int32)
+    args = (jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(emit),
+            *(jnp.asarray(t) for t in tr), jnp.asarray(m_lens))
+    np.asarray(viterbi_score_batch(*args))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(viterbi_score_batch(*args))
+    dt = (time.perf_counter() - t0) / iters
+    return batch * L * M / dt, dt, (batch, L, M)
+
+
+def bench_mcl(batch=64, n=128, iters=3):
+    """MCL expand/inflate iterations per second on a batch of random
+    hit graphs (the mcl-replacement loop, ops/mcl.py)."""
+    import jax
+    import jax.numpy as jnp
+    from pepr_tpu.ops.mcl import _mcl_iterate
+
+    rng = np.random.default_rng(4)
+    mats = (rng.random((batch, n, n)) < 0.05).astype(np.float32)
+    mats = mats + np.transpose(mats, (0, 2, 1))
+    mats = mats + np.eye(n, dtype=np.float32)[None]
+    md = jnp.asarray(mats)
+    # fixed-iteration variant for honest timing (the production loop
+    # early-exits on convergence)
+    fixed_iters = 20
+
+    @jax.jit
+    def run(m):
+        def norm(x):
+            c = x.sum(axis=-2, keepdims=True)
+            return x / jnp.where(c > 0, c, 1.0)
+
+        def body(x, _):
+            e = jnp.einsum("bij,bjk->bik", x, x,
+                           preferred_element_type=jnp.float32)
+            i = norm(jnp.power(e, 1.5))
+            i = jnp.where(i < 1e-5, 0.0, i)
+            return norm(i), None
+
+        out, _ = jax.lax.scan(body, norm(m), None, length=fixed_iters)
+        return out
+
+    np.asarray(run(md))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(run(md))
+    dt = (time.perf_counter() - t0) / iters
+    return batch * fixed_iters / dt, dt, (batch, n, fixed_iters)
 
 
 def bench_smith_waterman(batch=2048, L=256, iters=5):
@@ -168,6 +262,18 @@ def main():
             print(f"smith-waterman[{name}]{tag}: {cups/1e9:.2f} GCUPS "
                   f"({sw_dt*1e3:.1f} ms / {batch}x{L}x{L} batch)",
                   file=sys.stderr)
+    nw_cups, nw_dt, (nb, nl) = bench_nw_profile()
+    print(f"nw-profile: {nw_cups/1e9:.2f} GCUPS "
+          f"({nw_dt*1e3:.1f} ms / {nb}x{nl}x{nl} batch)",
+          file=sys.stderr)
+    hmm_cells, hmm_dt, (hb, hl, hm) = bench_hmm()
+    print(f"hmm-viterbi: {hmm_cells/1e6:.0f} Mcells/s "
+          f"({hmm_dt*1e3:.1f} ms / {hb} pairs x {hl} res x {hm} "
+          f"states)", file=sys.stderr)
+    mcl_it, mcl_dt, (mb, mn, mi) = bench_mcl()
+    print(f"mcl: {mcl_it:.0f} graph-iterations/s "
+          f"({mcl_dt*1e3:.1f} ms / {mb} graphs x {mn} nodes x "
+          f"{mi} iters)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "pruning_ll_site_evals_per_s",
