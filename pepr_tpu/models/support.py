@@ -209,11 +209,16 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
         children, blens, lls, round_done = state
     else:
         # per-block checkpointing: block wall time scales with
-        # reps x sites, so size blocks to ~ a few minutes each — a
-        # block that outlives the run slice loses all its work
-        # (16 reps x ~40k live columns ~= 3-4 min on the tunneled chip)
+        # reps x sites x NODES, so size blocks to ~ a few minutes each
+        # — a block that outlives the run slice loses all its work.
+        # Calibration point: 16 reps x ~40k live columns x 23 nodes
+        # (the r4 ery run) ~= 3-4 min on the tunneled chip; the node
+        # factor was missing until the 52-taxon scale run produced
+        # 12-minute blocks that could never finish inside a slice.
         live = int((masks[0] > 0).sum()) if reps else cat.length
-        block = max(4, min(16, int(16 * 40000 / max(live, 1)) & ~1))
+        n_nodes_b = 2 * n_leaves - 1
+        block = max(2, min(16, int(16 * 40000 * 23
+                                   / max(live * n_nodes_b, 1)) & ~1))
         blk_key = "support_blopt_blocks"
         bstate: dict = store.load(blk_key) if store is not None \
             and store.has(blk_key) else {}
@@ -274,10 +279,28 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
                 cand_blen.append(nb)
                 cand_w.append(masks[r])
                 cand_rep.append(r)
+        # resumable candidate scoring: a full round at 50-genome scale
+        # is tens of minutes of device dispatches — far beyond one
+        # tunnel-safe run slice — so per-dispatch results checkpoint
+        # under a per-round key and a near-deadline run exits cleanly
         scores = np.zeros(len(cand_children))
         batch = 16
         pad_to = min(batch, len(cand_children))
+        sc_key = f"support_nni_scores_{rnd}"
+        sstate: dict = store.load(sc_key) if store is not None \
+            and store.has(sc_key) else {}
+        import time as _time
+        last_sc_save = _time.time()
         for c0 in range(0, len(cand_children), batch):
+            if c0 in sstate:
+                got = sstate[c0]
+                scores[c0:c0 + len(got)] = got
+                continue
+            if deadline is not None and deadline.near(60.0):
+                if store is not None:
+                    store.save(sc_key, sstate)
+                from pepr_tpu.pipeline.checkpoint import Incomplete
+                raise Incomplete(f"support NNI scoring round {rnd}")
             cb = cand_children[c0:c0 + batch]
             bb = cand_blen[c0:c0 + batch]
             wb = cand_w[c0:c0 + batch]
@@ -290,7 +313,12 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
                 jnp.asarray(np.stack(bb)), *margs,
                 jnp.asarray(np.stack(wb)), chunk=site_chunk,
                 impl=forward_impl(codes_d.shape[0] + cb[0].shape[0]))
-            scores[c0:c0 + n_real] = np.asarray(s)[:n_real]
+            got = np.asarray(s)[:n_real]
+            scores[c0:c0 + n_real] = got
+            sstate[c0] = got
+            if store is not None and _time.time() - last_sc_save > 60.0:
+                store.save(sc_key, sstate)
+                last_sc_save = _time.time()
         # accept per replicate: all improving non-conflicting moves
         cand_rep = np.array(cand_rep)
         new_children = children.copy()
@@ -321,12 +349,37 @@ def support_trees_batched(cat: ConcatenatedAlignment, reps: int,
             break
         # re-optimize branch lengths of the MOVED replicates only (a
         # late round moves a handful; re-running all 100 wasted ~90%
-        # of the round's device time)
-        mb, ml = sharded_replicate_blopt(
-            mesh, cat.mat, masks[moved], children[moved], blens[moved],
-            model, steps=max(bl_steps // 2, 20))
-        blens[moved] = mb
-        lls[moved] = ml
+        # of the round's device time).  Blocked + checkpointed like
+        # phase 2: an early round can move every replicate, which is
+        # tens of minutes of device time at 50-genome scale (the
+        # round replays deterministically up to here on resume — the
+        # candidate scores are cached under the per-round key)
+        live_m = int((masks[0] > 0).sum()) if reps else cat.length
+        block_m = max(2, min(16, int(16 * 40000 * 23
+                                     / max(live_m * (2 * n_leaves - 1),
+                                           1)) & ~1))
+        mv_key = f"support_moved_blopt_{rnd}"
+        mstate: dict = store.load(mv_key) if store is not None \
+            and store.has(mv_key) else {}
+        for m0 in range(0, len(moved), block_m):
+            if m0 in mstate:
+                continue
+            if deadline is not None and deadline.near(60.0):
+                if store is not None:
+                    store.save(mv_key, mstate)
+                from pepr_tpu.pipeline.checkpoint import Incomplete
+                raise Incomplete(f"support moved-BL-opt round {rnd}")
+            sel = moved[m0:m0 + block_m]
+            mb, ml = sharded_replicate_blopt(
+                mesh, cat.mat, masks[sel], children[sel], blens[sel],
+                model, steps=max(bl_steps // 2, 20))
+            mstate[m0] = (mb, ml)
+            if store is not None:
+                store.save(mv_key, mstate)
+        for m0, (mb, ml) in mstate.items():
+            sel = moved[m0:m0 + block_m]
+            blens[sel] = mb[:len(sel)]
+            lls[sel] = ml[:len(sel)]
         if store is not None:
             store.save(state_key, (children, blens, lls, rnd + 1))
         log.info("support: NNI round %d moved %d/%d replicates", rnd,

@@ -251,12 +251,13 @@ def loglik_sites_pallas(codes: jax.Array, children: jax.Array,
     """Per-site log-likelihood via the Pallas site-tiled kernel (same
     signature/semantics as loglik_sites)."""
     from pepr_tpu.alphabet import PAD
-    from pepr_tpu.ops.pallas_pruning import (A_PAD, S_TILE,
-                                             block_diag_pmats,
+    from pepr_tpu.ops.pallas_pruning import (A_PAD, block_diag_pmats,
+                                             chosen_tile,
                                              pruning_site_ll_pallas)
 
     n_leaves, L = codes.shape
-    Lp = -(-L // S_TILE) * S_TILE
+    s_tile = chosen_tile(n_leaves + children.shape[0])
+    Lp = -(-L // s_tile) * s_tile
     codes_p = codes if Lp == L else \
         jnp.pad(codes, ((0, 0), (0, Lp - L)), constant_values=PAD)
     t = jnp.maximum(blen, 1e-9)

@@ -243,10 +243,29 @@ def pallas_vmem_bytes(n_nodes: int, s_tile: int = S_TILE) -> int:
                 + N_CATS * s_tile + 2 * CA * s_tile)
 
 
+S_TILES = (512, 256, 128)  # candidate site tiles, widest first
+
+
+def s_tile_for(n_nodes: int, grad: bool = False,
+               budget: int = 12 * 2 ** 20) -> int | None:
+    """Widest site tile whose VMEM footprint fits `n_nodes`, or None
+    when even the narrowest does not (XLA-scan territory).  The r4
+    kernel was fixed at 512 and simply refused trees past ~45 nodes;
+    narrowing the tile keeps the all-nodes-resident layout viable to
+    ~110 nodes forward (the backward's upper-messages + gradient
+    accumulator put its ceiling near ~55 nodes)."""
+    fn = pallas_vmem_bytes_grad if grad else pallas_vmem_bytes
+    for s in S_TILES:
+        if fn(n_nodes, s) <= budget:
+            return s
+    return None
+
+
 def pallas_fits(n_nodes: int, budget: int = 12 * 2 ** 20) -> bool:
     """Whether the site-tiled kernel's all-nodes-resident VMEM layout
-    fits this tree size (beyond it the XLA scan path must be used)."""
-    return pallas_vmem_bytes(n_nodes) <= budget
+    fits this tree size at ANY tile width (beyond it the XLA scan path
+    must be used)."""
+    return s_tile_for(n_nodes, budget=budget) is not None
 
 
 def pallas_vmem_bytes_grad(n_nodes: int, s_tile: int = S_TILE) -> int:
@@ -266,7 +285,22 @@ def pallas_fits_grad(n_nodes: int, budget: int = 12 * 2 ** 20) -> bool:
     """Whether the backward (gradient) kernel also fits VMEM at this
     tree size — differentiated calls must gate on THIS, not
     pallas_fits: the backward adds ~1.5-1.6x the forward footprint."""
-    return pallas_vmem_bytes_grad(n_nodes) <= budget
+    return s_tile_for(n_nodes, grad=True, budget=budget) is not None
+
+
+def chosen_tile(n_nodes: int) -> int:
+    """The tile the forward/backward kernel PAIR agrees on: the grad
+    tile when the backward fits at all (so a later grad of the same
+    forward shares the padding), else the forward tile (grad paths
+    are gated off upstream at such sizes).  Raises when neither fits —
+    callers must gate on pallas_fits first."""
+    s = s_tile_for(n_nodes, grad=True)
+    if s is None:
+        s = s_tile_for(n_nodes, grad=False)
+    if s is None:
+        raise ValueError(f"tree of {n_nodes} nodes exceeds the Pallas "
+                         "kernel's VMEM budget at every tile width")
+    return s
 
 
 @functools.partial(jax.jit,
@@ -286,7 +320,10 @@ def pruning_site_ll_pallas(codes: jax.Array, children: jax.Array,
     n_leaves, L = codes.shape
     n_int = children.shape[0]
     V = n_leaves + n_int
-    grid = (L // S_TILE,)
+    s_tile = chosen_tile(V)
+    if L % s_tile:
+        raise ValueError(f"L={L} not a multiple of the {s_tile} tile")
+    grid = (L // s_tile,)
     mode = dot_mode() if mode is None else mode
     p_hi, p_lo = split_bf16(pmats_bd)
 
@@ -296,7 +333,7 @@ def pruning_site_ll_pallas(codes: jax.Array, children: jax.Array,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((n_leaves, S_TILE), lambda i, *_: (0, i),
+                pl.BlockSpec((n_leaves, s_tile), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((V, CA, CA),
                              lambda i, *_: (0, 0, 0),
@@ -307,11 +344,11 @@ def pruning_site_ll_pallas(codes: jax.Array, children: jax.Array,
                 pl.BlockSpec((1, A_PAD), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, S_TILE), lambda i, *_: (0, i),
+            out_specs=pl.BlockSpec((1, s_tile), lambda i, *_: (0, i),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((V, CA, S_TILE), jnp.float32),
-                pltpu.VMEM((1, S_TILE), jnp.float32),
+                pltpu.VMEM((V, CA, s_tile), jnp.float32),
+                pltpu.VMEM((1, s_tile), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((1, L), jnp.float32),
@@ -339,7 +376,8 @@ def loglik_pallas(codes: np.ndarray, children: np.ndarray,
 
     codes = np.asarray(codes, np.int8)
     n_leaves, L = codes.shape
-    Lp = int(np.ceil(L / S_TILE) * S_TILE)
+    s_tile = chosen_tile(n_leaves + len(children))
+    Lp = int(np.ceil(L / s_tile) * s_tile)
     if Lp != L:
         pad = np.full((n_leaves, Lp - L), PAD, np.int8)
         codes = np.concatenate([codes, pad], axis=1)

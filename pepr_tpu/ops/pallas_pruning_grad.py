@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pepr_tpu.alphabet import N_AA
 from pepr_tpu.ops.pallas_pruning import (A_PAD, CA, N_CATS,
-                                         RESCALE_EVERY, S_TILE, _kdot,
+                                         RESCALE_EVERY, _kdot,
                                          _kdot_ff, dot_mode, split_bf16)
 
 
@@ -227,14 +227,18 @@ def pruning_grad_pmats_pallas(codes: jax.Array, children: jax.Array,
                               mode: str | None = None) -> jax.Array:
     """d(sum_s ct_s * ll_s)/d pmats_bd, (V, CA, CA).
 
-    codes: (n_leaves, L) int8, L a multiple of S_TILE.
+    codes: (n_leaves, L) int8, L a multiple of the chosen tile.
     ct: (L,) f32 per-site cotangents (e.g. site weights).
     Off-block (cross-category) entries are zero-masked.
     """
+    from pepr_tpu.ops.pallas_pruning import chosen_tile
     n_leaves, L = codes.shape
     n_int = children.shape[0]
     V = n_leaves + n_int
-    grid = (L // S_TILE,)
+    s_tile = chosen_tile(V)  # matches the forward kernel's padding
+    if L % s_tile:
+        raise ValueError(f"L={L} not a multiple of the {s_tile} tile")
+    grid = (L // s_tile,)
     mode = dot_mode() if mode is None else mode
     p_hi, p_lo = split_bf16(pmats_bd)
 
@@ -244,7 +248,7 @@ def pruning_grad_pmats_pallas(codes: jax.Array, children: jax.Array,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((n_leaves, S_TILE), lambda i, *_: (0, i),
+                pl.BlockSpec((n_leaves, s_tile), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((V, CA, CA), lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -252,16 +256,16 @@ def pruning_grad_pmats_pallas(codes: jax.Array, children: jax.Array,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, A_PAD), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S_TILE), lambda i, *_: (0, i),
+                pl.BlockSpec((1, s_tile), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((V, CA, CA), lambda i, *_: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((V, CA, S_TILE), jnp.float32),
-                pltpu.VMEM((n_int, 1, S_TILE), jnp.float32),
-                pltpu.VMEM((1, S_TILE), jnp.float32),
-                pltpu.VMEM((n_int, CA, S_TILE), jnp.float32),
+                pltpu.VMEM((V, CA, s_tile), jnp.float32),
+                pltpu.VMEM((n_int, 1, s_tile), jnp.float32),
+                pltpu.VMEM((1, s_tile), jnp.float32),
+                pltpu.VMEM((n_int, CA, s_tile), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((V, CA, CA), jnp.float32),

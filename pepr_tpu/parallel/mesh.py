@@ -148,13 +148,17 @@ def _rep_chunk(R: int, L: int, n_nodes: int, n_cats: int,
     return min(c, int(2 ** np.ceil(np.log2(max(L, 1)))), 4096)
 
 
-# Per-device-call work ceiling in replicate x site x Adam-step units.
-# The remote tunnel drops (and can wedge) device calls that run for
-# minutes, and a 200-step x 16-rep x 32k-site blopt is one such call —
-# the r4 ery run killed the TPU worker exactly there.  Segmenting the
-# optimizer into short calls with the Adam state carried between them
-# keeps each call ~10-20 s and makes the whole phase kill-tolerant.
-MAX_BLOPT_CALL_WORK = 8_000_000
+# Per-device-call work ceiling in replicate x site x NODE x Adam-step
+# units.  The remote tunnel drops (and can wedge) device calls that
+# run for minutes, and a 200-step x 16-rep x 32k-site blopt is one
+# such call — the r4 ery run killed the TPU worker exactly there.
+# Segmenting the optimizer into short calls with the Adam state
+# carried between them keeps each call ~10-20 s and makes the whole
+# phase kill-tolerant.  r5: the metric now includes the tree's node
+# count — the r4 constant was calibrated on 12-taxon trees (23 nodes)
+# and the 52-taxon scale run's ~4x-longer steps got the worker killed
+# again with the node factor missing (8M rep-site x 23 nodes ~= 184M).
+MAX_BLOPT_CALL_WORK = 184_000_000
 
 
 def _rep_nll_fns(codes, rc, rw, margs, chunk, impl="scan"):
@@ -312,18 +316,29 @@ def sharded_replicate_blopt(mesh: Mesh, codes, rep_weights: np.ndarray,
     impl = forward_impl(n_nodes, grad=True)
     # segment the optimizer into tunnel-safe device calls
     seg = max(1, int(MAX_BLOPT_CALL_WORK
-                     // max(rw.shape[0] * rw.shape[1], 1)))
+                     // max(rw.shape[0] * rw.shape[1] * n_nodes, 1)))
     theta = _inv_softplus(rb_s)
     mu = jnp.zeros_like(theta)
     nu = jnp.zeros_like(theta)
     t = jnp.float32(0.0)
     done = 0
+    import logging as _logging
+    import time as _time
+    _log = _logging.getLogger("pepr_tpu")
     while done < steps:
         n = min(seg, steps - done)
+        _t0 = _time.time()
         theta, mu, nu, t = _rep_blopt_seg(
             codes_s, rw_s, rc_s, theta, mu, nu, t, *margs,
             n_steps=n, chunk=chunk, lr=lr, impl=impl)
+        # force materialization per segment: it paces the dispatch
+        # stream (an unbounded async queue of segments looks like one
+        # multi-minute call to the tunnel's watchdog) and gives the
+        # log a liveness signal on long fan-outs
+        float(np.asarray(t))
         done += n
+        _log.info("blopt: %d/%d steps (seg of %d in %.1fs)", done,
+                  steps, n, _time.time() - _t0)
     ll = _rep_ll_jit(codes_s, rw_s, rc_s, theta, *margs,
                      chunk=chunk, impl=impl)
     blen = _softplus(theta)

@@ -49,6 +49,10 @@ class Stage2Config:
     matrix_evaluation: bool | list = False
     nni_rounds: int = 8
     bl_steps: int = 200
+    # support replicates play the reference's FastTree role (fast
+    # approximate ML, FastTreeRunner.java:67-86) — they get a lighter
+    # branch-length budget than the full tree's raxml-role bl_steps
+    support_bl_steps: int = 60
     seed: int = 12345
     # "nt": align with blastn-style scores, build trees under GTR+Gamma
     # (FastTree -gtr -nt role).  repr=False: see Stage1Config.alphabet.
@@ -254,7 +258,7 @@ def run_stage2(sets: list[SequenceSet],
     reps = support_trees(
         cat, cfg.support_reps, cfg.seed, model=model,
         method=cfg.support_method, fraction=cfg.jackknife_fraction,
-        nni_rounds=cfg.nni_rounds, bl_steps=cfg.bl_steps,
+        nni_rounds=cfg.nni_rounds, bl_steps=cfg.support_bl_steps,
         store=store, deadline=deadline,
         on_progress=lambda r: log.info("stage2: support tree %d done", r))
     timings["support_trees"] = time.time() - t0
