@@ -68,6 +68,10 @@ def main() -> int:
     # families; 44 (~85%) admits the ~1000-family matrix the BASELINE
     # config names
     cfg.min_taxa = 44
+    # support replicates are the FastTree fast-approximate role; 40
+    # adam steps keeps each resumable BL-opt block inside a tunnel
+    # slice at this tree size (the full tree keeps the default 200)
+    cfg.stage2.support_bl_steps = 40
     t0 = time.time()
     try:
         res = run_pepr(cfg)

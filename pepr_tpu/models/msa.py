@@ -101,16 +101,21 @@ def align_families(families: list[list[np.ndarray]], *,
                    gap_open: float = 11.0, gap_extend: float = 1.0,
                    batch_size: int = 256,
                    length_multiple: int = 64,
-                   core: np.ndarray | None = None) -> list[np.ndarray]:
+                   core: np.ndarray | None = None,
+                   guide_merges: list[list[tuple[int, int]]] | None = None
+                   ) -> list[np.ndarray]:
     """Align many families; returns (n_i, L_i) int8 matrices.
 
     Merges across families are executed in waves: every family exposes
     its next ready merge, all ready merges are bucketed by padded
     profile lengths and run as batched device calls.
+
+    `guide_merges` overrides the default k-mer-cosine UPGMA guide per
+    family (refinement passes supply alignment-informed guides).
     """
     # per-family state: clusters + pending merge schedule
     states: list[dict] = []
-    for seqs in families:
+    for fi, seqs in enumerate(families):
         n = len(seqs)
         clusters = {i: _Cluster([i], np.asarray(seqs[i],
                                                 dtype=np.int8)[None, :])
@@ -118,10 +123,13 @@ def align_families(families: list[list[np.ndarray]], *,
         if n == 1:
             states.append({"clusters": clusters, "merges": [], "next": 0})
             continue
-        profs = kmer_profiles(seqs, dim=256)
-        sims = np.clip(profs @ profs.T, 0.0, 1.0)
-        dist = 1.0 - sims
-        merges = upgma(dist)
+        if guide_merges is not None:
+            merges = guide_merges[fi]
+        else:
+            profs = kmer_profiles(seqs, dim=256)
+            sims = np.clip(profs @ profs.T, 0.0, 1.0)
+            dist = 1.0 - sims
+            merges = upgma(dist)
         states.append({"clusters": clusters, "merges": merges, "next": 0})
 
     while True:
@@ -260,6 +268,67 @@ def align_families_chunked(families: list[list[np.ndarray]], *,
             from pepr_tpu.pipeline.checkpoint import Incomplete
             raise Incomplete("family alignment")
     return out
+
+
+def sp_score(mat: np.ndarray, core: np.ndarray | None = None) -> float:
+    """Sum-of-pairs BLOSUM score of the aligned residue pairs — the
+    acceptance objective for refinement passes (muscle's refinement
+    keeps a pass only when its objective improves).  Computed from
+    per-column residue counts (L, 20): pairs_ab(col) = c_a c_b for
+    a != b and C(c_a, 2) for a == b, so cost is O(L * 400) with no
+    O(n^2) pair loop.  Gap-residue pairs are ignored (fewer matched
+    residue pairs already penalizes spreading)."""
+    from pepr_tpu.ops.profile_align import blosum_core
+    sub = blosum_core(np.float64) if core is None \
+        else np.asarray(core, np.float64)
+    counts = np.zeros((mat.shape[1], N_AA), np.float64)
+    for a in range(N_AA):
+        counts[:, a] = (mat == a).sum(axis=0)
+    cross = counts.T @ counts  # (20, 20) sum over columns of c_a c_b
+    diag_pairs = ((counts * (counts - 1.0)) / 2.0).sum(axis=0)
+    off = cross * (1.0 - np.eye(N_AA))
+    return float((off * sub).sum() / 2.0
+                 + (diag_pairs * np.diag(sub)).sum())
+
+
+def refine_families(mats: list[np.ndarray], *, iters: int = 1,
+                    core: np.ndarray | None = None,
+                    **kw) -> tuple[list[np.ndarray], int]:
+    """Muscle-style iterative refinement (the reference's muscle runs
+    its default progressive build PLUS refinement passes,
+    MultipleSequenceAligner.java:90-141; r4 shipped progressive-only).
+
+    Each pass re-estimates every family's guide tree from the CURRENT
+    alignment (Kimura-corrected distances over aligned columns — a
+    device one-hot contraction, treebuild.protein_distances) instead
+    of the pre-alignment k-mer cosines, re-aligns through the same
+    batched NW merge waves, and keeps the new alignment only when its
+    sum-of-pairs score improves.  Returns (mats, n_improved)."""
+    from pepr_tpu.models.treebuild import protein_distances
+
+    mats = list(mats)
+    improved_total = 0
+    for _ in range(max(iters, 0)):
+        # degapped sequences + alignment-informed guide per family
+        todo = [i for i, m in enumerate(mats) if m.shape[0] >= 3]
+        if not todo:
+            break
+        fams = []
+        guides = []
+        for i in todo:
+            m = mats[i]
+            fams.append([row[row != GAP] for row in m])
+            guides.append(upgma(protein_distances(m)))
+        new = align_families(fams, guide_merges=guides, core=core, **kw)
+        improved = 0
+        for i, nm in zip(todo, new):
+            if sp_score(nm, core) > sp_score(mats[i], core):
+                mats[i] = nm
+                improved += 1
+        improved_total += improved
+        if improved == 0:
+            break
+    return mats, improved_total
 
 
 def align_family(seqs: list[np.ndarray], **kw) -> np.ndarray:

@@ -47,6 +47,11 @@ class Stage2Config:
     # for the full tree + supports.  False (reference default), True
     # (registered model list), or an explicit list of model names.
     matrix_evaluation: bool | list = False
+    # muscle-style iterative MSA refinement passes (re-estimate the
+    # guide tree from the current alignment, re-align, keep on
+    # improved sum-of-pairs score) — the reference's muscle runs its
+    # refinement by default (MultipleSequenceAligner.java:90-141)
+    msa_refine_iters: int = 1
     nni_rounds: int = 8
     bl_steps: int = 200
     # support replicates play the reference's FastTree role (fast
@@ -127,6 +132,13 @@ def run_stage2(sets: list[SequenceSet],
         mats = align_families_chunked(
             [s.seqs for s in kept], store=store, deadline=deadline,
             ckpt_key="s2_align_chunk", **nt_kw)
+        if cfg.msa_refine_iters > 0:
+            from pepr_tpu.models.msa import refine_families
+            mats, n_imp = refine_families(mats,
+                                          iters=cfg.msa_refine_iters,
+                                          **nt_kw)
+            log.info("stage2: MSA refinement improved %d/%d families",
+                     n_imp, len(mats))
         alignments = [Alignment(s.name, list(s.taxa), m,
                                 titles=list(s.titles))
                       for s, m in zip(kept, mats)]

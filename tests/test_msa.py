@@ -197,3 +197,38 @@ def test_concatenate():
     assert list(mask) == [False, False, True, True, True]
     hs = cat.hs_matrix_text()
     assert "g1\t1\t1\t0" in hs
+
+
+def test_refine_families_improves_or_keeps_sp(rng):
+    from pepr_tpu.models.msa import (align_families, refine_families,
+                                     sp_score)
+    from pepr_tpu.tree import parse_newick
+    from pepr_tpu.utils.simulate import simulate_alignment
+
+    # families with indel-free homology; introduce length variation by
+    # deleting random segments so alignment is non-trivial
+    fams = []
+    tree = parse_newick(
+        "(((A:0.3,B:0.3):0.2,(C:0.3,D:0.3):0.2):0.1,(E:0.35,F:0.3):0.2);")
+    for g in range(6):
+        codes, taxa = simulate_alignment(tree, 120, rng)
+        seqs = []
+        for row in codes:
+            row = row.copy()
+            if rng.random() < 0.7:
+                s0 = int(rng.integers(0, 100))
+                ln = int(rng.integers(3, 15))
+                row = np.concatenate([row[:s0], row[s0 + ln:]])
+            seqs.append(row)
+        fams.append(seqs)
+    mats = align_families(fams)
+    before = [sp_score(m) for m in mats]
+    refined, n_imp = refine_families(mats, iters=2)
+    after = [sp_score(m) for m in refined]
+    for b, a in zip(before, after):
+        assert a >= b  # acceptance is monotone in the objective
+    # refined alignments still contain exactly the input residues
+    for fam, m in zip(fams, refined):
+        from pepr_tpu.alphabet import GAP
+        for row, orig in zip(m, fam):
+            assert (row[row != GAP] == orig).all()
